@@ -1,0 +1,24 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+The JAX-idiomatic fake-backend for distributed tests (SURVEY.md §4): real TPU
+hardware is not needed — `xla_force_host_platform_device_count=8` gives eight
+CPU devices over which `jax.sharding.Mesh` sharding, collectives and pjit
+partitioning execute for real.
+
+Note: this environment's TPU plugin boot (sitecustomize) imports jax at
+interpreter startup, so JAX_PLATFORMS env tweaks are too late — the platform
+must be overridden through jax.config before first backend use. XLA_FLAGS is
+read lazily at backend init, so setting it here still works.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,215 @@
+"""Default configuration tree.
+
+Key surface mirrors the reference so CLI invocations carry over
+(reference config/config.yaml + config/data/*.yaml): same knob names and
+defaults for seeds, trainer schedule, optimizer, loss, model modules, data
+group and inference block. TPU-specific additions live under ``parallel``
+and ``precision``; neither changes reference-default behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .node import ConfigNode
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _ignored_models_chair_table() -> list[str]:
+    with open(os.path.join(_HERE, "ignored_models_chair_table.json")) as f:
+        return json.load(f)["ignored_models"]
+
+
+def default_config() -> ConfigNode:
+    """The root defaults (reference config/config.yaml:15-108)."""
+    return ConfigNode(
+        {
+            "project_root_path": os.getcwd(),
+            "experiment_output_path": "${project_root_path}/output/${data.dataset}/${experiment_name}",
+            # Seeds (reference config.yaml:18-19).
+            "train_seed": 123,
+            "test_seed": 321,
+            "ckpt_name": None,
+            "experiment_name": None,
+            # Metric logging. WandB is used when available + enabled; a JSONL
+            # metrics file is always written (reference config.yaml:24-28).
+            "logger": {
+                "backend": "auto",  # auto | wandb | jsonl | none
+                "project": "TriCoLo",
+                "name": "${experiment_name}",
+                "save_dir": "${experiment_output_path}/training",
+            },
+            # Trainer schedule (reference config.yaml:30-36).
+            "trainer": {
+                "accelerator": "auto",  # auto → TPU if present, else CPU
+                "max_epochs": 20,
+                "profiler": "simple",
+                "num_sanity_val_steps": 0,
+                "check_val_every_n_epoch": 2,
+                "log_every_n_steps": 10,
+            },
+            # Checkpoint retention (reference config.yaml:39-47).
+            "checkpoint_monitor": {
+                "monitor": "val_eval/RR@5",
+                "mode": "max",
+                "save_last": False,
+                "save_top_k": 3,
+                "every_n_epochs": "${trainer.check_val_every_n_epoch}",
+                "dirpath": "${experiment_output_path}/training",
+            },
+            # Adam (reference config.yaml:50-53). weight_decay is additive L2
+            # on the gradient, matching torch.optim.Adam's decoupling-free
+            # formulation (not AdamW).
+            "optimizer": {
+                "name": "adam",
+                "lr": 0.00035,
+                "weight_decay": 1.0e-6,
+            },
+            # Cosine decay from start_epoch to max_epochs; inert at the
+            # defaults since start_epoch == max_epochs (reference
+            # config.yaml:56, callback/lr_decay_callback.py:5-16).
+            "lr_decay": {"start_epoch": 20},
+            "model": {
+                "out_dim": 512,
+                "voxel_encoder": None,
+                "image_encoder": None,
+                "text_encoder": None,
+                "modules": {
+                    "BiGRUEncoder": {
+                        "vocab_size": "${data.vocab_size}",
+                        "embed_dim": 256,
+                        "hidden_dim": 128,
+                        "out_dim": "${model.out_dim}",
+                    },
+                    "MVCNNEncoder": {
+                        "z_dim": 512,
+                        "cnn_name": "resnet18",
+                        "num_views": "${data.num_views}",
+                        "out_dim": "${model.out_dim}",
+                        # Path to converted torchvision weights (msgpack /
+                        # npz produced by tricolo_tpu.models.resnet
+                        # conversion); None → random init.
+                        "pretrained_path": None,
+                    },
+                    "VoxelCNNEncoder": {
+                        "voxel_size": "${data.voxel_size}",
+                        "ef_dim": 32,
+                        "z_dim": 512,
+                        "out_dim": "${model.out_dim}",
+                    },
+                    "clip_model": "ViT-L/14",
+                    "clip_feature_dim": 768,
+                    "CLIPImageEncoder": {
+                        "out_dim": "${model.out_dim}",
+                        "num_views": "${data.num_views}",
+                        "feature_dim": "${model.modules.clip_feature_dim}",
+                        "dropout": 0.1,
+                    },
+                    "CLIPTextEncoder": {
+                        "out_dim": "${model.out_dim}",
+                        "feature_dim": "${model.modules.clip_feature_dim}",
+                        "dropout": 0.1,
+                    },
+                },
+            },
+            # Loss selection (reference config.yaml:96-104).
+            "loss": {
+                "name": "NTXentLoss",
+                "NTXentLoss": {"temperature": 0.1, "alpha_weight": 0.25},
+                "TripletLoss": {"margin": 0.025},
+            },
+            "inference": {
+                "split": "val",
+                "save_predictions": True,
+                "evaluate": True,
+                "output_dir": "${experiment_output_path}/inference/${inference.split}/predictions",
+            },
+            # --- TPU-native additions -------------------------------------
+            "parallel": {
+                # Number of data-parallel devices; "auto" = all local devices.
+                "data_parallel": "auto",
+                # Gather embeddings across the mesh inside the contrastive
+                # loss so negatives span the global batch. At global batch ==
+                # reference batch this is numerically the reference loss.
+                "global_negatives": True,
+            },
+            "precision": {
+                # bfloat16 activations through convs/matmuls, float32 params,
+                # optimizer state and loss.
+                "compute_dtype": "bfloat16",
+                "param_dtype": "float32",
+            },
+            "bench": {"warmup_steps": 3, "steps": 20},
+        }
+    )
+
+
+def data_preset(name: str) -> ConfigNode:
+    """Data group presets (reference config/data/*.yaml)."""
+    base = ConfigNode(
+        {
+            "preset": name,
+            "dataset_root_path": "${project_root_path}/data",
+            "batch_size": 128,
+            "num_workers": 8,
+            "image_size": 128,
+            "voxel_size": 64,
+            "num_views": 6,
+        }
+    )
+    if name == "base":
+        base.merge(
+            {
+                "dataset": "Text2ShapeChairTable",
+                "dataset_path": "${data.dataset_root_path}/text2shape-data/chair_table",
+                "exp_data_root_path": "${data.dataset_path}/preprocessed/exp_data",
+                "train_lang_data_path": "${data.exp_data_root_path}/train_map.json",
+                "val_lang_data_path": "${data.exp_data_root_path}/val_map.json",
+                "test_lang_data_path": "${data.exp_data_root_path}/test_map.json",
+                "vocab_size": 3588,
+                "ignored_models": [],
+            }
+        )
+    elif name == "text2shape_chair_table":
+        base.merge(data_preset("base"))
+        base["preset"] = name
+        base["ignored_models"] = _ignored_models_chair_table()
+    elif name == "text2shape_c13":
+        base.merge(data_preset("base"))
+        base.merge(
+            {
+                "preset": name,
+                "dataset": "Text2ShapeC13",
+                "dataset_path": "${data.dataset_root_path}/text2shape-data/c13",
+                "vocab_size": 3968,
+                "ignored_models": [],
+            }
+        )
+    elif name == "synthetic":
+        # Tiny CPU-runnable synthetic dataset for tests / smoke runs.
+        base.merge(
+            {
+                "preset": name,
+                "dataset": "Synthetic",
+                "dataset_path": "${project_root_path}/data/synthetic",
+                "exp_data_root_path": "${data.dataset_path}",
+                "train_lang_data_path": "",
+                "val_lang_data_path": "",
+                "test_lang_data_path": "",
+                "vocab_size": 128,
+                "ignored_models": [],
+                "batch_size": 8,
+                "num_workers": 0,
+                "image_size": 32,
+                "voxel_size": 32,
+                "num_views": 2,
+                "num_models": 12,
+                "captions_per_model": 3,
+                "max_tokens": 16,
+            }
+        )
+    else:
+        raise KeyError(f"unknown data preset: {name}")
+    return base

@@ -1,0 +1,209 @@
+"""ResNet-18/34/50 image backbone (NHWC, bfloat16-friendly) + torch converter.
+
+Architecture matches torchvision's ResNet family, which the reference uses as
+the shared single-view CNN inside MVCNN (tricolo/model/module/img_encoder/
+mv_cnn.py:44-52 loads ImageNet-pretrained resnet18/34/50 and replaces `fc`).
+The stack: 7×7/2 stem conv → BN → ReLU → 3×3/2 maxpool → 4 stages of
+basic/bottleneck blocks → global average pool. The classifier `fc` is *not*
+part of this module — MVCNN owns the z_dim projection (mv_cnn.py:22).
+
+Pretrained ImageNet weights matter for the reference's retrieval parity, so
+`convert_torchvision_state_dict` maps a torchvision `state_dict()` (loaded
+host-side with CPU torch) onto this module's {params, batch_stats} pytrees.
+There is no network access in the training environment, so the conversion is
+an offline tool: run it once where weights are available, save with
+`save_pretrained`, point `model.modules.MVCNNEncoder.pretrained_path` at the
+file.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .common import torch_conv_kernel_init
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2, use_bias=False,
+            kernel_init=torch_conv_kernel_init, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name,
+        )
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, param_dtype=self.param_dtype, name=name,
+        )
+        residual = x
+        y = conv(self.features, 3, self.strides, "conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = conv(self.features, 3, 1, "conv2")(y)
+        y = norm("bn2")(y)
+        if residual.shape != y.shape:
+            residual = conv(self.features, 1, self.strides, "downsample_conv")(x)
+            residual = norm("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    strides: int = 1
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2, use_bias=False,
+            kernel_init=torch_conv_kernel_init, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name,
+        )
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, param_dtype=self.param_dtype, name=name,
+        )
+        residual = x
+        y = nn.relu(norm("bn1")(conv(self.features, 1, 1, "conv1")(x)))
+        y = nn.relu(norm("bn2")(conv(self.features, 3, self.strides, "conv2")(y)))
+        y = norm("bn3")(conv(self.features * self.expansion, 1, 1, "conv3")(y))
+        if residual.shape != y.shape:
+            residual = conv(self.features * self.expansion, 1, self.strides, "downsample_conv")(x)
+            residual = norm("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+_ARCHS = {
+    "resnet18": (BasicBlock, (2, 2, 2, 2), 512),
+    "resnet34": (BasicBlock, (3, 4, 6, 3), 512),
+    "resnet50": (Bottleneck, (3, 4, 6, 3), 2048),
+}
+
+
+def feature_dim(cnn_name: str) -> int:
+    return _ARCHS[cnn_name][2]
+
+
+class ResNet(nn.Module):
+    """Backbone: (N, H, W, 3) NHWC → pooled features (N, feature_dim)."""
+
+    cnn_name: str = "resnet18"
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        block_cls, stage_sizes, _ = _ARCHS[self.cnn_name]
+        x = x.astype(self.dtype or jnp.float32)
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+            kernel_init=torch_conv_kernel_init, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, param_dtype=self.param_dtype, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for stage, num_blocks in enumerate(stage_sizes):
+            for block in range(num_blocks):
+                strides = 2 if stage > 0 and block == 0 else 1
+                x = block_cls(
+                    64 * (2**stage), strides=strides, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"layer{stage + 1}_{block}",
+                )(x, train=train)
+        return jnp.mean(x, axis=(1, 2))  # global average pool
+
+
+# ---------------------------------------------------------------------------
+# torchvision weight conversion (offline tool; torch is CPU-only here)
+# ---------------------------------------------------------------------------
+
+def _assign(tree: dict, path: Sequence[str], value: np.ndarray):
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = jnp.asarray(value)
+
+
+def convert_torchvision_state_dict(state_dict: dict, cnn_name: str = "resnet18"):
+    """Map a torchvision ResNet ``state_dict`` → (params, batch_stats).
+
+    Conversions: conv weights OIHW → HWIO; BN weight/bias → scale/bias and
+    running stats → batch_stats. The torchvision ``fc`` entries are ignored
+    (the reference replaces fc with its own projection, mv_cnn.py:45).
+    """
+    block_cls, stage_sizes, _ = _ARCHS[cnn_name]
+    params: dict = {}
+    stats: dict = {}
+
+    def put_conv(torch_key: str, path: Sequence[str]):
+        w = np.asarray(state_dict[torch_key])
+        _assign(params, [*path, "kernel"], w.transpose(2, 3, 1, 0))
+
+    def put_bn(torch_prefix: str, path: Sequence[str]):
+        _assign(params, [*path, "scale"], np.asarray(state_dict[f"{torch_prefix}.weight"]))
+        _assign(params, [*path, "bias"], np.asarray(state_dict[f"{torch_prefix}.bias"]))
+        _assign(stats, [*path, "mean"], np.asarray(state_dict[f"{torch_prefix}.running_mean"]))
+        _assign(stats, [*path, "var"], np.asarray(state_dict[f"{torch_prefix}.running_var"]))
+
+    put_conv("conv1.weight", ["conv1"])
+    put_bn("bn1", ["bn1"])
+
+    n_convs = 2 if block_cls is BasicBlock else 3
+    for stage, num_blocks in enumerate(stage_sizes):
+        for block in range(num_blocks):
+            tprefix = f"layer{stage + 1}.{block}"
+            fprefix = f"layer{stage + 1}_{block}"
+            for conv_idx in range(1, n_convs + 1):
+                put_conv(f"{tprefix}.conv{conv_idx}.weight", [fprefix, f"conv{conv_idx}"])
+                put_bn(f"{tprefix}.bn{conv_idx}", [fprefix, f"bn{conv_idx}"])
+            if f"{tprefix}.downsample.0.weight" in state_dict:
+                put_conv(f"{tprefix}.downsample.0.weight", [fprefix, "downsample_conv"])
+                put_bn(f"{tprefix}.downsample.1", [fprefix, "downsample_bn"])
+
+    return params, stats
+
+
+def save_pretrained(path: str, params: dict, batch_stats: dict):
+    """Serialize converted weights to an .npz usable without torch."""
+    flat = {}
+
+    def flatten(prefix: str, tree: dict, out: dict):
+        for key, value in tree.items():
+            full = f"{prefix}/{key}" if prefix else key
+            if isinstance(value, dict):
+                flatten(full, value, out)
+            else:
+                out[full] = np.asarray(value)
+
+    flatten("params", params, flat)
+    flatten("batch_stats", batch_stats, flat)
+    np.savez(path, **flat)
+
+
+def load_pretrained(path: str):
+    """Load weights saved by `save_pretrained` → (params, batch_stats)."""
+    data = np.load(path)
+    params: dict = {}
+    stats: dict = {}
+    for flat_key in data.files:
+        parts = flat_key.split("/")
+        target = params if parts[0] == "params" else stats
+        _assign(target, parts[1:], data[flat_key])
+    return params, stats

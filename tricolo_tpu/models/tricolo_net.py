@@ -1,0 +1,136 @@
+"""TriCoLoNet: composes the configured modality encoders.
+
+Parity with the reference LightningModule's model role (tricolo/model/
+tricolo_net.py:11-54): the text encoder is required; image and voxel
+encoders are optional; forward produces a dict with "text_features" and,
+when configured, "image_features" / "voxel_features", each (B, out_dim).
+
+Encoder selection keys accept both the reference's module names
+("SparseCNNEncoder") and the TPU-native names ("VoxelCNNEncoder") so
+reference CLI invocations carry over.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from flax import linen as nn
+
+from .bigru import BiGRUEncoder
+from .clip_heads import CLIPImageEncoder, CLIPTextEncoder
+from .mvcnn import MVCNNEncoder
+from .voxel_cnn import VoxelCNNEncoder
+
+# Canonical feature-dict ordering; matters because the loss sums over
+# pairwise combinations in dict order (reference tricolo_net.py:56-65 uses
+# insertion order text → image → voxel).
+FEATURE_KEYS = ("text_features", "image_features", "voxel_features")
+
+_VOXEL_ALIASES = {"VoxelCNNEncoder", "SparseCNNEncoder"}
+
+
+class TriCoLoNet(nn.Module):
+    """Joint embedding model over up to three modalities.
+
+    Constructed from a config node via `from_config`; the flax module only
+    keeps the concrete hyperparameters so it stays hashable/jit-stable.
+    """
+
+    text_encoder: str = "BiGRUEncoder"
+    image_encoder: str | None = None
+    voxel_encoder: str | None = None
+    out_dim: int = 512
+    # BiGRU
+    vocab_size: int = 3588
+    embed_dim: int = 256
+    gru_hidden_dim: int = 128
+    # MVCNN
+    num_views: int = 6
+    z_dim: int = 512
+    cnn_name: str = "resnet18"
+    # VoxelCNN
+    voxel_size: int = 64
+    ef_dim: int = 32
+    # CLIP heads
+    clip_feature_dim: int = 768
+    clip_dropout: float = 0.1
+    # precision
+    dtype: Any = None
+    param_dtype: Any = None
+
+    @classmethod
+    def from_config(cls, cfg) -> "TriCoLoNet":
+        import jax.numpy as jnp
+
+        modules = cfg.model.modules
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            cfg.precision.compute_dtype
+        ]
+        param_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            cfg.precision.param_dtype
+        ]
+        return cls(
+            text_encoder=cfg.model.text_encoder or "BiGRUEncoder",
+            image_encoder=cfg.model.image_encoder,
+            voxel_encoder=cfg.model.voxel_encoder,
+            out_dim=cfg.model.out_dim,
+            vocab_size=modules.BiGRUEncoder.vocab_size,
+            embed_dim=modules.BiGRUEncoder.embed_dim,
+            gru_hidden_dim=modules.BiGRUEncoder.hidden_dim,
+            num_views=modules.MVCNNEncoder.num_views,
+            z_dim=modules.MVCNNEncoder.z_dim,
+            cnn_name=modules.MVCNNEncoder.cnn_name,
+            voxel_size=modules.VoxelCNNEncoder.voxel_size,
+            ef_dim=modules.VoxelCNNEncoder.ef_dim,
+            clip_feature_dim=modules.clip_feature_dim,
+            clip_dropout=modules.CLIPTextEncoder.dropout,
+            dtype=dtype,
+            param_dtype=param_dtype,
+        )
+
+    @nn.compact
+    def __call__(self, batch: dict, *, train: bool = False) -> dict:
+        deterministic = not train
+        output = {}
+
+        if self.text_encoder == "CLIPTextEncoder":
+            output["text_features"] = CLIPTextEncoder(
+                out_dim=self.out_dim, feature_dim=self.clip_feature_dim,
+                dropout=self.clip_dropout, dtype=self.dtype,
+                param_dtype=self.param_dtype or jax.numpy.float32, name="text_encoder",
+            )(batch["clip_embeddings_text"], deterministic=deterministic)
+        else:
+            output["text_features"] = BiGRUEncoder(
+                vocab_size=self.vocab_size, out_dim=self.out_dim,
+                embed_dim=self.embed_dim, hidden_dim=self.gru_hidden_dim,
+                dtype=self.dtype, param_dtype=self.param_dtype or jax.numpy.float32,
+                name="text_encoder",
+            )(batch["tokens"], deterministic=deterministic)
+
+        if self.image_encoder == "CLIPImageEncoder":
+            output["image_features"] = CLIPImageEncoder(
+                out_dim=self.out_dim, num_views=self.num_views,
+                feature_dim=self.clip_feature_dim, dropout=self.clip_dropout,
+                dtype=self.dtype, param_dtype=self.param_dtype or jax.numpy.float32,
+                name="image_encoder",
+            )(batch["clip_embeddings_img"], deterministic=deterministic)
+        elif self.image_encoder == "MVCNNEncoder":
+            output["image_features"] = MVCNNEncoder(
+                num_views=self.num_views, z_dim=self.z_dim, out_dim=self.out_dim,
+                cnn_name=self.cnn_name, dtype=self.dtype,
+                param_dtype=self.param_dtype or jax.numpy.float32, name="image_encoder",
+            )(batch["images"], train=train, deterministic=deterministic)
+        elif self.image_encoder is not None:
+            raise ValueError(f"unknown image encoder: {self.image_encoder}")
+
+        if self.voxel_encoder in _VOXEL_ALIASES:
+            output["voxel_features"] = VoxelCNNEncoder(
+                voxel_size=self.voxel_size, ef_dim=self.ef_dim, z_dim=self.z_dim,
+                out_dim=self.out_dim, dtype=self.dtype,
+                param_dtype=self.param_dtype or jax.numpy.float32, name="voxel_encoder",
+            )(batch["voxels"], train=train, deterministic=deterministic)
+        elif self.voxel_encoder is not None:
+            raise ValueError(f"unknown voxel encoder: {self.voxel_encoder}")
+
+        return output

@@ -1,0 +1,100 @@
+"""Dense 3D CNN voxel encoder — TPU-idiomatic replacement for sparse conv.
+
+The reference encodes solid voxel colors with spconv submanifold sparse CUDA
+kernels (tricolo/model/module/voxel_encoder/sparse_cnn.py:7-51): five blocks
+of [SubMConv3d(k=3, no bias) → BatchNorm → ReLU → MaxPool(2)] with channels
+3→32→64→128→256→512, densified, flattened and passed through an MLP
+(Linear(4096→512) → ReLU → Linear(512→512)), then L2-normalized.
+
+On TPU the idiomatic trade is a *dense* convolution stack: the grids are
+small (64³ default), the MXU wants large regular contractions, and XLA's 3D
+`conv_general_dilated` lowering tiles them efficiently in NDHWC/bfloat16.
+Deliberate, documented divergences from the sparse reference:
+
+* convolution outputs are computed at all sites, not only occupied ones
+  (submanifold convs zero inactive outputs); empty space carries zeros in
+  and, before normalization, zeros out of the first conv since it has no
+  bias.
+* BatchNorm statistics are taken over all voxels rather than only active
+  sites.
+* the flatten→MLP width is *derived* from voxel_size ((D/32)³·512) instead of
+  hard-coding 4096, which fixes the reference's 64³-only constraint
+  (sparse_cnn.py:41 breaks at 32³/128³) while remaining identical at the
+  shipped default.
+
+Input: (B, D, D, D, 3) float — RGB at occupied voxels, zeros elsewhere
+(the dense view of the reference's sparse {locs, feats} batches,
+data_module.py:40-65).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import MLPHead, l2_normalize, torch_conv_kernel_init
+
+
+class ConvBlock(nn.Module):
+    """Conv3D(k=3, same, no bias) → BatchNorm → ReLU → MaxPool(2)."""
+
+    features: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = nn.Conv(
+            self.features,
+            kernel_size=(3, 3, 3),
+            use_bias=False,
+            padding="SAME",
+            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,  # torch BatchNorm default momentum=0.1
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
+        return x
+
+
+class VoxelCNNEncoder(nn.Module):
+    """Voxel encoder: (B, D, D, D, 3) → L2-normalized (B, out_dim)."""
+
+    voxel_size: int = 64
+    ef_dim: int = 32
+    z_dim: int = 512
+    out_dim: int = 512
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, voxels: jax.Array, *, train: bool = False, deterministic: bool = True) -> jax.Array:
+        if voxels.shape[1] != self.voxel_size:
+            raise ValueError(
+                f"expected {self.voxel_size}^3 grids, got {voxels.shape[1:4]}"
+            )
+        if self.voxel_size % 32 != 0:
+            raise ValueError(
+                f"voxel_size must be a multiple of 32 (five 2x pools), got {self.voxel_size}"
+            )
+        compute_dtype = self.dtype or jnp.float32
+        x = voxels.astype(compute_dtype)
+        channels = (self.ef_dim, self.ef_dim * 2, self.ef_dim * 4, self.ef_dim * 8, self.z_dim)
+        for features in channels:
+            x = ConvBlock(features, dtype=self.dtype, param_dtype=self.param_dtype)(x, train=train)
+        x = x.reshape(x.shape[0], -1)  # (B, (D/32)^3 * z_dim); 4096 at D=64
+        x = MLPHead(self.out_dim, self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype)(
+            x, deterministic=deterministic
+        )
+        return l2_normalize(x.astype(jnp.float32))
