@@ -1,0 +1,109 @@
+"""ResNet backbone parity against a torch oracle via the weight converter.
+
+torchvision is not installed in this environment, so the oracle is a minimal
+torch ResNet-18 whose state_dict keys follow torchvision's exact naming
+(conv1.weight, bn1.*, layerN.M.convK.weight, layerN.M.downsample.{0,1}.*) —
+which is all `convert_torchvision_state_dict` depends on.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+
+from tricolo_tpu.models import ResNet
+from tricolo_tpu.models.resnet import (
+    convert_torchvision_state_dict,
+    load_pretrained,
+    save_pretrained,
+)
+
+
+class TorchBasicBlock(tnn.Module):
+    def __init__(self, in_ch, out_ch, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(in_ch, out_ch, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(out_ch)
+        self.conv2 = tnn.Conv2d(out_ch, out_ch, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(out_ch)
+        self.downsample = None
+        if stride != 1 or in_ch != out_ch:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(in_ch, out_ch, 1, stride, bias=False), tnn.BatchNorm2d(out_ch)
+            )
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return torch.relu(out + identity)
+
+
+class TorchResNet18(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        cfg = [(64, 1), (128, 2), (256, 2), (512, 2)]
+        in_ch = 64
+        for idx, (ch, stride) in enumerate(cfg, start=1):
+            blocks = tnn.Sequential(
+                TorchBasicBlock(in_ch, ch, stride), TorchBasicBlock(ch, ch, 1)
+            )
+            setattr(self, f"layer{idx}", blocks)
+            in_ch = ch
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = self.maxpool(x)
+        for idx in range(1, 5):
+            x = getattr(self, f"layer{idx}")(x)
+        return x.mean(dim=(2, 3))
+
+
+def test_resnet18_matches_torch_oracle(tmp_path):
+    torch.manual_seed(0)
+    tm = TorchResNet18().eval()
+    # Perturb BN running stats so the converter's stats mapping is exercised.
+    with torch.no_grad():
+        tm(torch.randn(4, 3, 64, 64))
+        tm.eval()
+
+    params, stats = convert_torchvision_state_dict(tm.state_dict(), "resnet18")
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        expected = tm(torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+
+    model = ResNet(cnn_name="resnet18")
+    actual = np.asarray(
+        model.apply({"params": params, "batch_stats": stats}, jnp.asarray(img))
+    )
+    np.testing.assert_allclose(actual, expected, atol=5e-4, rtol=1e-4)
+
+    # Round-trip through the offline .npz format.
+    path = str(tmp_path / "weights.npz")
+    save_pretrained(path, params, stats)
+    params2, stats2 = load_pretrained(path)
+    actual2 = np.asarray(
+        model.apply({"params": params2, "batch_stats": stats2}, jnp.asarray(img))
+    )
+    np.testing.assert_allclose(actual2, actual, atol=1e-6)
+
+
+def test_resnet_init_structure_matches_converted():
+    """Random init must produce the same pytree structure as conversion."""
+    torch.manual_seed(1)
+    tm = TorchResNet18()
+    params, stats = convert_torchvision_state_dict(tm.state_dict(), "resnet18")
+    model = ResNet(cnn_name="resnet18")
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    expected_struct = jax.tree.structure(variables["params"])
+    actual_struct = jax.tree.structure(params)
+    assert expected_struct == actual_struct
+    assert jax.tree.structure(variables["batch_stats"]) == jax.tree.structure(stats)
