@@ -1,0 +1,226 @@
+"""Data pipeline tests: datasets, collation, iteration, device prep."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tricolo_tpu.config import load_config
+from tricolo_tpu.data import (
+    BatchIterator,
+    DataModule,
+    build_dataset,
+    collate,
+    densify_voxels,
+    normalize_images,
+)
+from tricolo_tpu.data.datasets import (
+    CLIP_IMAGE_MEAN,
+    CLIP_IMAGE_STD,
+    GeneralDataset,
+    dense_rgba_to_sparse,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_cfg():
+    return load_config(["data=synthetic"])
+
+
+@pytest.fixture(scope="module")
+def synth_train(synth_cfg):
+    return build_dataset(synth_cfg, "train")
+
+
+class TestSyntheticDataset:
+    def test_item_contract(self, synth_cfg, synth_train):
+        item = synth_train[0]
+        d = synth_cfg.data
+        assert item["tokens"].shape == (d.max_tokens,)
+        assert item["tokens"].dtype == np.int32
+        assert item["images"].shape == (d.num_views, d.image_size, d.image_size, 3)
+        assert item["images"].dtype == np.uint8
+        assert item["voxel_coords"].dtype == np.uint8
+        assert item["voxel_coords"].shape[1] == 3
+        assert (item["voxel_coords"] < d.voxel_size).all()
+
+    def test_deterministic_and_split_distinct(self, synth_cfg):
+        a = build_dataset(synth_cfg, "train")
+        b = build_dataset(synth_cfg, "train")
+        np.testing.assert_array_equal(a[0]["tokens"], b[0]["tokens"])
+        v = build_dataset(synth_cfg, "val")
+        assert v[0]["model_id"] != a[0]["model_id"]
+
+    def test_counts(self, synth_cfg, synth_train):
+        d = synth_cfg.data
+        assert len(synth_train) == d.num_models * d.captions_per_model
+
+
+class TestCollate:
+    def test_static_shapes_and_mask(self, synth_train):
+        items = [synth_train[i] for i in range(4)]
+        n_pad = synth_train.max_voxel_points
+        batch = collate(items, n_pad)
+        assert batch["voxel_coords"].shape == (4, n_pad, 3)
+        assert batch["voxel_feats"].shape == (4, n_pad, 3)
+        assert batch["voxel_mask"].shape == (4, n_pad)
+        for i, item in enumerate(items):
+            n = item["voxel_coords"].shape[0]
+            assert batch["voxel_mask"][i].sum() == n
+            np.testing.assert_array_equal(batch["voxel_coords"][i, :n], item["voxel_coords"])
+            assert (batch["voxel_feats"][i, n:] == 0).all()
+
+
+class TestBatchIterator:
+    def test_train_drop_last_and_shuffle(self, synth_train):
+        it = BatchIterator(synth_train, batch_size=10, shuffle=True, drop_last=True, seed=7, prefetch=False)
+        batches = list(it)
+        assert len(batches) == len(synth_train) // 10 == len(it)
+        it.set_epoch(1)
+        batches2 = list(it)
+        assert any(
+            b1["model_id"] != b2["model_id"] for b1, b2 in zip(batches, batches2)
+        )
+        # Same epoch → same order (seeded).
+        it.set_epoch(1)
+        batches3 = list(it)
+        assert all(b2["model_id"] == b3["model_id"] for b2, b3 in zip(batches2, batches3))
+
+    def test_eval_tail_padding(self, synth_train):
+        bs = 25
+        it = BatchIterator(synth_train, batch_size=bs, prefetch=False)
+        batches = list(it)
+        n = len(synth_train)
+        assert len(batches) == (n + bs - 1) // bs
+        tail = batches[-1]
+        assert tail["tokens"].shape[0] == bs  # static shape
+        assert tail["num_valid"] == n - (len(batches) - 1) * bs
+
+    def test_prefetch_equals_sync(self, synth_train):
+        a = list(BatchIterator(synth_train, batch_size=8, prefetch=False))
+        b = list(BatchIterator(synth_train, batch_size=8, prefetch=True))
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["tokens"], y["tokens"])
+
+
+class TestDevicePrep:
+    def test_densify_matches_numpy(self, synth_train):
+        batch = collate([synth_train[i] for i in range(3)], synth_train.max_voxel_points)
+        D = synth_train.voxel_size
+        dense = np.asarray(
+            densify_voxels(
+                jnp.asarray(batch["voxel_coords"]),
+                jnp.asarray(batch["voxel_feats"]),
+                jnp.asarray(batch["voxel_mask"]),
+                D,
+            )
+        )
+        expect = np.zeros((3, D, D, D, 3), np.float32)
+        for i in range(3):
+            for c, f, m in zip(batch["voxel_coords"][i], batch["voxel_feats"][i], batch["voxel_mask"][i]):
+                if m:
+                    expect[i, c[0], c[1], c[2]] += f / 255.0
+        np.testing.assert_allclose(dense, expect, atol=1e-6)
+
+    def test_padding_preserves_origin_site(self):
+        # A real point at (0,0,0) must survive the padded entries that also
+        # target (0,0,0) with zero features.
+        coords = np.zeros((1, 4, 3), np.uint8)
+        feats = np.zeros((1, 4, 3), np.uint8)
+        feats[0, 0] = 255
+        mask = np.array([[True, False, False, False]])
+        dense = np.asarray(densify_voxels(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(mask), 4))
+        np.testing.assert_allclose(dense[0, 0, 0, 0], [1.0, 1.0, 1.0])
+        assert dense.sum() == pytest.approx(3.0)
+
+    def test_normalize_images(self):
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8)
+        out = np.asarray(normalize_images(jnp.asarray(imgs)))
+        expect = (imgs / 255.0 - np.array(CLIP_IMAGE_MEAN)) / np.array(CLIP_IMAGE_STD)
+        np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+
+def make_disk_dataset(root, n_models=3, captions_per_model=2, voxel=32, views=4):
+    """Write a reference-format exp_data tree: map.json + per-model npz."""
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(root, "cat0"), exist_ok=True)
+    rows = []
+    for m in range(n_models):
+        model_id = f"m{m:02d}"
+        grid = np.zeros((4, voxel, voxel, voxel), np.uint8)
+        n_occ = int(rng.integers(5, 20))
+        xs, ys, zs = (rng.integers(0, voxel, n_occ) for _ in range(3))
+        grid[3, xs, ys, zs] = 255
+        grid[:3, xs, ys, zs] = rng.integers(1, 256, (3, n_occ))
+        images = rng.integers(0, 256, (views * 2, 3, 24, 24), dtype=np.uint8)
+        np.savez(
+            os.path.join(root, "cat0", f"{model_id}.npz"),
+            **{f"voxel{voxel}": grid, "images": images},
+        )
+        for c in range(captions_per_model):
+            rows.append(
+                {
+                    "model_id": model_id,
+                    "category": "cat0",
+                    "caption": f"caption {m} {c}",
+                    "tokens": rng.integers(1, 50, int(rng.integers(3, 10))).tolist(),
+                }
+            )
+    with open(os.path.join(root, "train_map.json"), "w") as f:
+        json.dump(rows, f)
+    return rows
+
+
+class TestGeneralDataset:
+    def test_load_from_disk(self, tmp_path):
+        root = str(tmp_path)
+        rows = make_disk_dataset(root)
+        cfg = load_config(["data=synthetic"])
+        cfg.data.exp_data_root_path = root
+        cfg.data.train_lang_data_path = os.path.join(root, "train_map.json")
+        cfg.data.voxel_size = 32
+        cfg.data.image_size = 16
+        cfg.data.num_views = 4
+        cfg.data.max_tokens = 12
+        ds = GeneralDataset(cfg, "train")
+        assert len(ds) == len(rows)
+        item = ds[0]
+        assert item["images"].shape == (4, 16, 16, 3)
+        assert item["tokens"].shape == (12,)
+        # Sparse conversion round-trips the occupied sites.
+        npz = np.load(os.path.join(root, "cat0", f"{rows[0]['model_id']}.npz"))
+        coords, feats = dense_rgba_to_sparse(npz["voxel32"])
+        np.testing.assert_array_equal(item["voxel_coords"], coords)
+        np.testing.assert_array_equal(item["voxel_feats"], feats)
+
+    def test_view_subsample_even(self, tmp_path):
+        root = str(tmp_path)
+        make_disk_dataset(root, views=3)  # stores 6 views, subsample to 3
+        cfg = load_config(["data=synthetic"])
+        cfg.data.exp_data_root_path = root
+        cfg.data.train_lang_data_path = os.path.join(root, "train_map.json")
+        cfg.data.voxel_size = 32
+        cfg.data.image_size = 24  # no resize → raw pixels comparable
+        cfg.data.num_views = 3
+        ds = GeneralDataset(cfg, "train")
+        item = ds[0]
+        npz = np.load(os.path.join(root, "cat0", "m00.npz"))
+        sub = np.round(np.linspace(0, 5, 3)).astype(int)
+        expect = npz["images"][sub].transpose(0, 2, 3, 1)
+        np.testing.assert_array_equal(item["images"], expect)
+
+
+class TestDataModule:
+    def test_setup_and_loaders(self, synth_cfg):
+        dm = DataModule(synth_cfg)
+        dm.setup("fit")
+        train = dm.train_loader()
+        val = dm.val_loader()
+        assert train.shuffle and train.drop_last
+        assert not val.shuffle and not val.drop_last
+        batch = next(iter(train))
+        assert batch["tokens"].shape[0] == synth_cfg.data.batch_size

@@ -1,0 +1,280 @@
+"""Split datasets: caption maps + per-model vision data, loaded into RAM.
+
+Behavioral parity with the reference GeneralDataset (tricolo/data/dataset/
+general_dataset.py:11-98): a `{split}_map.json` of per-caption rows
+{model_id, category, caption, tokens} drives the split; per unique
+(category, model_id) the matching `exp_data/{category}/{model_id}.npz` is
+read once, its dense `voxel{D}` RGBA grid converted to sparse
+(coords where alpha>0, feats=RGB), `num_views` views subsampled evenly from
+the stored renders and bicubic-antialias-resized to `image_size` at load
+time, and optional precached CLIP embeddings attached.
+
+TPU-first divergences (documented):
+
+* items stay **uint8/sparse on the host** — images (V, H, W, 3) uint8 NHWC,
+  voxels (coords uint8 (N,3), feats uint8 (N,3)). The float conversion,
+  CLIP-stat normalization (general_dataset.py:87-93) and dense-grid
+  scatter all run on device inside the jitted step (device_prep.py), which
+  cuts H2D traffic ~10× vs shipping normalized float batches.
+* the per-split max occupied-voxel count is computed at load time and
+  rounded up to a multiple of 512 → one static sparse-batch shape per
+  split, so the train step compiles exactly once.
+* CLIP caches are `.npz` files written by our extract tool; the reference's
+  torch `.pth` files are also accepted when torch is importable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+# CLIP normalization stats (reference general_dataset.py:87-89).
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+_VOXEL_PAD_MULTIPLE = 512
+
+
+def _resize_views_bicubic(views_chw: np.ndarray, size: int) -> np.ndarray:
+    """(V, 3, H, W) uint8 → (V, size, size, 3) uint8, bicubic + antialias.
+
+    Matches torchvision Resize(size, BICUBIC, antialias=True) as used at
+    dataset load (general_dataset.py:63-65). torch is CPU-only here and this
+    is a host-side, load-time step — the TPU never sees it.
+    """
+    if views_chw.shape[-1] == size and views_chw.shape[-2] == size:
+        return np.ascontiguousarray(views_chw.transpose(0, 2, 3, 1))
+    try:
+        import torch
+        import torch.nn.functional as F
+
+        t = torch.from_numpy(np.ascontiguousarray(views_chw)).to(torch.float32)
+        out = F.interpolate(t, size=(size, size), mode="bicubic", antialias=True)
+        out = out.round().clamp(0, 255).to(torch.uint8).numpy()
+        return np.ascontiguousarray(out.transpose(0, 2, 3, 1))
+    except ImportError:  # pragma: no cover - torch is present in CI
+        from PIL import Image
+
+        frames = []
+        for view in views_chw:
+            img = Image.fromarray(view.transpose(1, 2, 0))
+            frames.append(np.asarray(img.resize((size, size), Image.BICUBIC)))
+        return np.stack(frames)
+
+
+def dense_rgba_to_sparse(dense_voxel: np.ndarray):
+    """Reference dense→sparse rule (general_dataset.py:46-51).
+
+    ``dense_voxel`` is the npz's (4, D, D, D) RGBA grid; occupied sites are
+    alpha>0; coords are (N, 3) uint8 grid indices, feats (N, 3) uint8 RGB.
+    """
+    grid = np.transpose(dense_voxel, (1, 2, 3, 0))
+    flat = grid.reshape(-1, grid.shape[3])
+    mask = flat[:, -1].nonzero()[0]
+    coords = np.indices(grid.shape[:3], dtype=np.uint8).reshape(3, -1).T[mask]
+    feats = flat[mask, :3]
+    return coords.astype(np.uint8), feats.astype(np.uint8)
+
+
+def _load_clip_cache(path_base: str) -> dict | None:
+    """Load `clip_embeddings_{split}` as .npz (ours) or .pth (reference)."""
+    npz_path = path_base + ".npz"
+    if os.path.exists(npz_path):
+        data = np.load(npz_path)
+        cache: dict[str, dict[str, np.ndarray]] = {}
+        for key in data.files:
+            model_id, kind = key.rsplit("/", 1)
+            cache.setdefault(model_id, {})[kind] = data[key].astype(np.float32)
+        return cache
+    pth_path = path_base + ".pth"
+    if os.path.exists(pth_path):
+        import torch
+
+        raw = torch.load(pth_path, map_location="cpu")
+        return {
+            mid: {k: np.asarray(v, dtype=np.float32) for k, v in entry.items()}
+            for mid, entry in raw.items()
+        }
+    return None
+
+
+class GeneralDataset:
+    """One split in RAM; indexable by caption."""
+
+    def __init__(self, cfg, split: str):
+        self.cfg = cfg
+        self.split = split
+        self.voxel_size = cfg.data.voxel_size
+        self.image_size = cfg.data.image_size
+        self.num_views = cfg.data.num_views
+        self.max_tokens = cfg.data.get("max_tokens", 96)
+        self.use_clip_text = cfg.model.text_encoder == "CLIPTextEncoder"
+        self.use_clip_image = cfg.model.image_encoder == "CLIPImageEncoder"
+
+        map_path = cfg.data.get(f"{split}_lang_data_path")
+        with open(map_path) as f:
+            raw_rows = json.load(f)
+
+        clip_cache = None
+        if self.use_clip_text or self.use_clip_image:
+            clip_cache = _load_clip_cache(
+                os.path.join(cfg.data.exp_data_root_path, f"clip_embeddings_{split}")
+            )
+
+        self.language_data: list[dict] = []
+        self.vision_data: dict[tuple, dict] = {}
+        for row in raw_rows:
+            key = (row["category"], row["model_id"])
+            self.language_data.append(
+                {
+                    "model_id": row["model_id"],
+                    "category": row["category"],
+                    "tokens": self._fix_tokens(row["tokens"]),
+                    "text": row["caption"].strip(),
+                }
+            )
+            if key not in self.vision_data:
+                self.vision_data[key] = self._load_model(key, clip_cache)
+
+        self.max_voxel_points = self._pad_target(
+            max((v["coords"].shape[0] for v in self.vision_data.values()), default=1)
+        )
+
+    def _fix_tokens(self, tokens) -> np.ndarray:
+        out = np.zeros(self.max_tokens, dtype=np.int32)
+        arr = np.asarray(tokens, dtype=np.int32)[: self.max_tokens]
+        out[: arr.shape[0]] = arr
+        return out
+
+    @staticmethod
+    def _pad_target(n: int) -> int:
+        return max(_VOXEL_PAD_MULTIPLE, ((n + _VOXEL_PAD_MULTIPLE - 1) // _VOXEL_PAD_MULTIPLE) * _VOXEL_PAD_MULTIPLE)
+
+    def _load_model(self, key: tuple, clip_cache: dict | None) -> dict:
+        category, model_id = key
+        npz_path = os.path.join(
+            self.cfg.data.exp_data_root_path, category, f"{model_id}.npz"
+        )
+        npz = np.load(npz_path)
+        coords, feats = dense_rgba_to_sparse(npz[f"voxel{self.voxel_size}"])
+
+        stored_views = npz["images"]  # (V_stored, 3, H, W) uint8
+        sub = np.round(
+            np.linspace(0, len(stored_views) - 1, self.num_views)
+        ).astype(int)
+        images = _resize_views_bicubic(stored_views[sub], self.image_size)
+
+        entry = {"coords": coords, "feats": feats, "images": images}
+        if clip_cache is not None and model_id in clip_cache:
+            entry["clip_embeddings_img"] = clip_cache[model_id]["img"]
+            entry["clip_embeddings_text"] = clip_cache[model_id]["text"]
+        return entry
+
+    def __len__(self) -> int:
+        return len(self.language_data)
+
+    def __getitem__(self, idx: int) -> dict[str, Any]:
+        lang = self.language_data[idx]
+        vision = self.vision_data[(lang["category"], lang["model_id"])]
+        item = {
+            "model_id": lang["model_id"],
+            "category": lang["category"],
+            "tokens": self._clip_tokenize(lang["text"]) if self.use_clip_text else lang["tokens"],
+            "images": vision["images"],
+            "voxel_coords": vision["coords"],
+            "voxel_feats": vision["feats"],
+        }
+        for key in ("clip_embeddings_img", "clip_embeddings_text"):
+            if key in vision:
+                item[key] = vision[key]
+        return item
+
+    @staticmethod
+    def _clip_tokenize(text: str) -> np.ndarray:
+        """CLIP BPE tokenization (general_dataset.py:76-77), host-side."""
+        from tricolo_tpu.clip.tokenizer import tokenize
+
+        return tokenize(text, context_length=77, truncate=True)
+
+
+class SyntheticDataset:
+    """Deterministic random data in the GeneralDataset item contract.
+
+    CPU-runnable fixture for tests/smoke/bench (SURVEY.md §4); captions are
+    token sequences drawn per (model, caption) pair, shapes get a random
+    sparse voxel cloud and random views, so the whole pipeline — including
+    retrieval eval with multiple captions per model — exercises end to end.
+    """
+
+    def __init__(self, cfg, split: str):
+        data = cfg.data
+        self.voxel_size = data.voxel_size
+        self.image_size = data.image_size
+        self.num_views = data.num_views
+        self.max_tokens = data.get("max_tokens", 16)
+        num_models = data.get("num_models", 12)
+        captions_per_model = data.get("captions_per_model", 3)
+        vocab = data.vocab_size
+        seed = {"train": 0, "val": 1, "test": 2}.get(split, 3)
+        rng = np.random.default_rng(seed)
+
+        self.use_clip_text = cfg.model.text_encoder == "CLIPTextEncoder"
+        self.use_clip_image = cfg.model.image_encoder == "CLIPImageEncoder"
+
+        self.language_data = []
+        self.vision_data = {}
+        for m in range(num_models):
+            model_id = f"{split}_model_{m:04d}"
+            key = ("synthetic", model_id)
+            n_points = int(rng.integers(32, 256))
+            coords = rng.integers(0, self.voxel_size, (n_points, 3), dtype=np.uint8)
+            feats = rng.integers(0, 256, (n_points, 3), dtype=np.uint8)
+            images = rng.integers(
+                0, 256, (self.num_views, self.image_size, self.image_size, 3), dtype=np.uint8
+            )
+            entry = {"coords": coords, "feats": feats, "images": images}
+            if self.use_clip_text or self.use_clip_image:
+                entry["clip_embeddings_img"] = rng.standard_normal(768).astype(np.float32)
+                entry["clip_embeddings_text"] = rng.standard_normal(768).astype(np.float32)
+            self.vision_data[key] = entry
+            for c in range(captions_per_model):
+                length = int(rng.integers(4, self.max_tokens))
+                tokens = np.zeros(self.max_tokens, dtype=np.int32)
+                tokens[:length] = rng.integers(1, vocab, length)
+                self.language_data.append(
+                    {
+                        "model_id": model_id,
+                        "category": "synthetic",
+                        "tokens": tokens,
+                        "text": f"synthetic caption {m}-{c}",
+                    }
+                )
+        self.max_voxel_points = GeneralDataset._pad_target(
+            max(v["coords"].shape[0] for v in self.vision_data.values())
+        )
+
+    def __len__(self):
+        return len(self.language_data)
+
+    __getitem__ = GeneralDataset.__getitem__
+
+
+_DATASETS = {
+    # Reference dataset names are trivial subclasses of GeneralDataset used
+    # only for Hydra dispatch (dataset/text2shape_chair_table.py:4-6).
+    "Text2ShapeChairTable": GeneralDataset,
+    "Text2ShapeC13": GeneralDataset,
+    "GeneralDataset": GeneralDataset,
+    "Synthetic": SyntheticDataset,
+}
+
+
+def build_dataset(cfg, split: str):
+    """Resolve `cfg.data.dataset` by name (reference data_module.py:12)."""
+    name = cfg.data.dataset
+    if name not in _DATASETS:
+        raise KeyError(f"unknown dataset {name!r}; known: {sorted(_DATASETS)}")
+    return _DATASETS[name](cfg, split)

@@ -1,0 +1,172 @@
+"""Batching: seeded shuffles, fixed-shape collation, background prefetch.
+
+Replaces the reference's torch DataLoader stack (data_module.py:21-37) with a
+host iterator designed for XLA: every batch of a split has the **same static
+shapes** (tokens (B,T), images (B,V,H,W,3) uint8, padded sparse voxels), so a
+jitted train step compiles once. Train batches shuffle each epoch from a
+seeded generator and drop the last partial batch (DataLoader(shuffle=True,
+drop_last=True)); eval batches keep order and pad the final short batch with
+repeats plus a validity mask (the reference instead emits a ragged last
+batch — impossible under jit without a recompile; padded rows are masked out
+of eval collection).
+
+A one-deep background prefetch thread overlaps host collation with device
+compute — the reference gets the same overlap from worker processes + pinned
+memory (data_module.py:23).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator
+
+import numpy as np
+
+from .datasets import build_dataset
+
+
+def collate(items: list[dict], max_voxel_points: int) -> dict[str, Any]:
+    """Stack items into one fixed-shape numpy batch.
+
+    The sparse-voxel convention diverges from the reference's ragged
+    (ΣN, 4) concatenation (data_module.py:52-64): each sample's points are
+    padded to ``max_voxel_points`` with a validity mask, giving a static
+    (B, N, 3) shape the device scatter consumes (device_prep.densify_voxels).
+    """
+    batch_size = len(items)
+    n_pad = max_voxel_points
+    coords = np.zeros((batch_size, n_pad, 3), dtype=np.uint8)
+    feats = np.zeros((batch_size, n_pad, 3), dtype=np.uint8)
+    mask = np.zeros((batch_size, n_pad), dtype=bool)
+    for i, item in enumerate(items):
+        n = min(item["voxel_coords"].shape[0], n_pad)
+        coords[i, :n] = item["voxel_coords"][:n]
+        feats[i, :n] = item["voxel_feats"][:n]
+        mask[i, :n] = True
+
+    batch: dict[str, Any] = {
+        "model_id": [item["model_id"] for item in items],
+        "category": [item["category"] for item in items],
+        "tokens": np.stack([item["tokens"] for item in items]).astype(np.int32),
+        "images": np.stack([item["images"] for item in items]),
+        "voxel_coords": coords,
+        "voxel_feats": feats,
+        "voxel_mask": mask,
+    }
+    for key in ("clip_embeddings_img", "clip_embeddings_text"):
+        if key in items[0]:
+            batch[key] = np.stack([item[key] for item in items]).astype(np.float32)
+    return batch
+
+
+class BatchIterator:
+    """Iterate a dataset in fixed-shape batches with optional prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        """Advance the shuffle stream (new permutation each epoch, seeded)."""
+        self.epoch = epoch
+
+    def _batches(self) -> Iterator[dict]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            order = rng.permutation(n)
+        n_pad = self.dataset.max_voxel_points
+        for start in range(0, n, self.batch_size):
+            chunk = order[start : start + self.batch_size]
+            if len(chunk) < self.batch_size:
+                if self.drop_last:
+                    return
+                # Pad eval tail batches to the static shape; mask marks reals.
+                valid = len(chunk)
+                chunk = np.concatenate(
+                    [chunk, np.full(self.batch_size - valid, chunk[-1])]
+                )
+            else:
+                valid = self.batch_size
+            batch = collate([self.dataset[int(i)] for i in chunk], n_pad)
+            batch["num_valid"] = valid
+            yield batch
+
+    def __iter__(self) -> Iterator[dict]:
+        if not self.prefetch:
+            yield from self._batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=2)
+        sentinel = object()
+        error: list[BaseException] = []
+
+        def producer():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except BaseException as exc:  # surface worker errors to consumer
+                error.append(exc)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            batch = q.get()
+            if batch is sentinel:
+                break
+            yield batch
+        thread.join()
+        if error:
+            raise error[0]
+
+
+class DataModule:
+    """Split construction + loader config (reference data_module.py:8-37)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.train_set = None
+        self.val_set = None
+
+    def setup(self, stage: str | None = None):
+        if stage in ("fit", None):
+            self.train_set = build_dataset(self.cfg, "train")
+            self.val_set = build_dataset(self.cfg, self.cfg.inference.split)
+        else:
+            self.val_set = build_dataset(self.cfg, self.cfg.inference.split)
+
+    def train_loader(self) -> BatchIterator:
+        return BatchIterator(
+            self.train_set,
+            batch_size=self.cfg.data.batch_size,
+            shuffle=True,
+            drop_last=True,
+            seed=self.cfg.train_seed,
+        )
+
+    def val_loader(self) -> BatchIterator:
+        return BatchIterator(self.val_set, batch_size=self.cfg.data.batch_size)
+
+    test_loader = val_loader
