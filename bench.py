@@ -1,0 +1,90 @@
+"""Training-throughput benchmark on the flagship Tri(I+V) configuration.
+
+Measures steady-state compiled train-step throughput (forward + backward +
+Adam update over BiGRU + MVCNN/ResNet18 + VoxelCNN with trimodal NT-Xent) at
+the reference training recipe: batch 128, 6 views × 128², 64³ voxels
+(reference config/data/base.yaml:5-11). Prints ONE JSON line:
+
+    {"metric": "train_pairs_per_sec_per_chip", "value": N,
+     "unit": "caption-shape pairs/sec/chip", "vs_baseline": N}
+
+vs_baseline is value / 5000: the reference publishes no throughput numbers
+anywhere (SURVEY.md §6), so 5000 pairs/sec is our documented A100 estimate
+for its recipe — ~1.4 TFLOP/step view-batched ResNet18 at bs 768 plus the
+spconv voxel stack and cuDNN GRU, ≈25 ms/step on one A100. The north-star
+target (BASELINE.json) of >2× A100 therefore corresponds to vs_baseline > 2.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_ESTIMATE_PAIRS_PER_SEC = 5000.0
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _flagship_cfg, _host_batch
+    from tricolo_tpu.models.tricolo_net import TriCoLoNet
+    from tricolo_tpu.parallel import make_mesh, replicated_sharding, shard_batch
+    from tricolo_tpu.training import TrainState, make_optimizer, make_train_step
+
+    cfg = _flagship_cfg()
+    cfg.data.batch_size = 128
+    # Representative solid-voxel occupancy: ~8k occupied sites of 64³.
+    n_points = 8192
+
+    mesh = make_mesh(cfg.parallel.data_parallel)
+    model = TriCoLoNet.from_config(cfg)
+    tx = make_optimizer(cfg)
+    train_step = make_train_step(model, tx, cfg)
+
+    batches = [
+        shard_batch(_host_batch(cfg, n_points=n_points, seed=s), mesh)
+        for s in range(2)
+    ]
+
+    import jax.numpy as jnp
+    from tricolo_tpu.data.device_prep import prepare_device_batch
+
+    init_batch = prepare_device_batch(
+        {k: jnp.asarray(v) for k, v in _host_batch(cfg, n_points=n_points).items()},
+        cfg.data.voxel_size,
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), init_batch)
+    state = jax.device_put(TrainState.create(variables, tx), replicated_sharding(mesh))
+
+    rng = jax.random.PRNGKey(0)
+    lr = cfg.optimizer.lr
+
+    warmup = cfg.bench.warmup_steps
+    steps = cfg.bench.steps
+    for i in range(warmup):
+        state, losses = train_step(state, batches[i % 2], lr, rng)
+    jax.block_until_ready(state.params)
+
+    tic = time.perf_counter()
+    for i in range(steps):
+        state, losses = train_step(state, batches[i % 2], lr, rng)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - tic
+
+    pairs_per_sec = cfg.data.batch_size * steps / elapsed
+    per_chip = pairs_per_sec / mesh.size
+    print(
+        json.dumps(
+            {
+                "metric": "train_pairs_per_sec_per_chip",
+                "value": round(per_chip, 2),
+                "unit": "caption-shape pairs/sec/chip",
+                "vs_baseline": round(per_chip / A100_ESTIMATE_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Mesh/collective tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tricolo_tpu.losses import nt_xent_loss
+from tricolo_tpu.parallel import (
+    batch_sharding,
+    make_global_nt_xent,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    m = make_mesh()
+    assert m.size == 8, "tests expect the 8-device CPU mesh from conftest"
+    return m
+
+
+class TestMesh:
+    def test_shard_batch_places_and_splits(self, mesh):
+        batch = {
+            "tokens": np.arange(16 * 4).reshape(16, 4).astype(np.int32),
+            "num_valid": 16,  # non-array: dropped
+            "model_id": ["x"] * 16,
+        }
+        out = shard_batch(batch, mesh)
+        assert set(out) == {"tokens"}
+        arr = out["tokens"]
+        assert arr.sharding.is_equivalent_to(batch_sharding(mesh), arr.ndim)
+        np.testing.assert_array_equal(np.asarray(arr), batch["tokens"])
+
+    def test_indivisible_batch_raises(self, mesh):
+        with pytest.raises(ValueError, match="not divisible"):
+            shard_batch({"x": np.zeros((10, 2))}, mesh)
+
+    def test_mesh_subset(self):
+        m = make_mesh(4)
+        assert m.size == 4
+
+
+class TestGlobalNTXent:
+    @pytest.mark.parametrize("alpha", [0.25, 0.5])
+    def test_matches_single_device_loss(self, mesh, alpha):
+        """The shard_map global-negative loss must equal the reference loss
+        on the concatenated batch (SURVEY.md §4 collective-loss contract)."""
+        rng = np.random.default_rng(0)
+        zis = rng.standard_normal((16, 32)).astype(np.float32)
+        zjs = rng.standard_normal((16, 32)).astype(np.float32)
+
+        expected = float(nt_xent_loss(jnp.asarray(zis), jnp.asarray(zjs), 0.1, alpha))
+
+        loss_fn = make_global_nt_xent(mesh, temperature=0.1, alpha_weight=alpha)
+        sharding = batch_sharding(mesh)
+        got = float(
+            jax.jit(loss_fn)(
+                jax.device_put(zis, sharding), jax.device_put(zjs, sharding)
+            )
+        )
+        assert got == pytest.approx(expected, rel=1e-5)
+
+    def test_gradients_match_single_device(self, mesh):
+        rng = np.random.default_rng(1)
+        zis = rng.standard_normal((8, 16)).astype(np.float32)
+        zjs = rng.standard_normal((8, 16)).astype(np.float32)
+
+        ref_grads = jax.grad(
+            lambda a, b: nt_xent_loss(a, b, 0.1, 0.25), argnums=(0, 1)
+        )(jnp.asarray(zis), jnp.asarray(zjs))
+
+        loss_fn = make_global_nt_xent(mesh, 0.1, 0.25)
+        sharding = batch_sharding(mesh)
+        got_grads = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))(
+            jax.device_put(zis, sharding), jax.device_put(zjs, sharding)
+        )
+        for ref, got in zip(ref_grads, got_grads):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-6)
+
+    def test_pjit_automatic_equals_explicit(self, mesh):
+        """The jit-automatic path (sharded inputs into the plain loss) and
+        the explicit shard_map path agree — the equivalence the train step
+        relies on."""
+        rng = np.random.default_rng(2)
+        zis = rng.standard_normal((16, 8)).astype(np.float32)
+        zjs = rng.standard_normal((16, 8)).astype(np.float32)
+        sharding = batch_sharding(mesh)
+        a = jax.device_put(zis, sharding)
+        b = jax.device_put(zjs, sharding)
+
+        auto = float(jax.jit(lambda x, y: nt_xent_loss(x, y, 0.1, 0.25))(a, b))
+        explicit = float(jax.jit(make_global_nt_xent(mesh, 0.1, 0.25))(a, b))
+        assert auto == pytest.approx(explicit, rel=1e-5)

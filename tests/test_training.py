@@ -1,0 +1,171 @@
+"""Training-layer tests: optimizer parity, LR schedule, steps, checkpoints."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tricolo_tpu.config import load_config
+from tricolo_tpu.training import (
+    CheckpointManager,
+    TrainState,
+    load_checkpoint,
+    lr_for_epoch,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    save_checkpoint,
+)
+from tricolo_tpu.training.checkpoint import prune_disabled_encoders
+
+
+def bi_v_cfg(extra=()):
+    cfg = load_config(["data=synthetic", *extra])
+    cfg.model.voxel_encoder = "VoxelCNNEncoder"
+    cfg.precision.compute_dtype = "float32"
+    return cfg
+
+
+class TestAdamParity:
+    def test_matches_torch_adam_with_weight_decay(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        w0 = rng.standard_normal((4, 3)).astype(np.float32)
+        lr, wd = 3.5e-4, 1e-2  # large wd to make coupling visible
+
+        t_param = torch.nn.Parameter(torch.tensor(w0.copy()))
+        opt = torch.optim.Adam([t_param], lr=lr, weight_decay=wd)
+
+        cfg = load_config(["optimizer.weight_decay=0.01"])
+        tx = make_optimizer(cfg)
+        params = {"w": jnp.asarray(w0)}
+        opt_state = tx.init(params)
+
+        for step in range(5):
+            g = rng.standard_normal((4, 3)).astype(np.float32)
+            opt.zero_grad()
+            t_param.grad = torch.tensor(g.copy())
+            opt.step()
+
+            updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+            params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+
+            np.testing.assert_allclose(
+                np.asarray(params["w"]), t_param.detach().numpy(), rtol=1e-5, atol=1e-7
+            )
+
+
+class TestLrSchedule:
+    def test_inert_at_defaults(self):
+        cfg = load_config([])
+        for epoch in range(cfg.trainer.max_epochs):
+            assert lr_for_epoch(cfg, epoch) == cfg.optimizer.lr
+
+    def test_cosine_decay_when_enabled(self):
+        import math
+
+        cfg = load_config(["lr_decay.start_epoch=10", "trainer.max_epochs=20"])
+        base = cfg.optimizer.lr
+        # Epochs 0..10 run at base (callback fires at END of epoch 10 first).
+        for epoch in range(11):
+            assert lr_for_epoch(cfg, epoch) == base
+        # Epoch 11 uses the end-of-epoch-10 value: progress 0 → still base.
+        assert lr_for_epoch(cfg, 11) == pytest.approx(1e-6 + 0.5 * (base - 1e-6) * 2)
+        # Monotone decreasing afterwards, approaching the clip.
+        lrs = [lr_for_epoch(cfg, e) for e in range(11, 21)]
+        assert all(a >= b for a, b in zip(lrs, lrs[1:]))
+        expect_last = 1e-6 + 0.5 * (base - 1e-6) * (1 + math.cos(math.pi * 9 / 10))
+        assert lrs[-1] == pytest.approx(expect_last)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    from tricolo_tpu.data import DataModule
+    from tricolo_tpu.parallel import make_mesh, replicated_sharding, shard_batch
+    from tricolo_tpu.models.tricolo_net import TriCoLoNet
+    from tricolo_tpu.data.device_prep import prepare_device_batch
+
+    cfg = bi_v_cfg()
+    dm = DataModule(cfg)
+    dm.setup("fit")
+    loader = dm.train_loader()
+    batch = next(iter(loader))
+    mesh = make_mesh()
+    model = TriCoLoNet.from_config(cfg)
+    tx = make_optimizer(cfg)
+    dev_batch = prepare_device_batch(
+        {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)},
+        cfg.data.voxel_size,
+    )
+    variables = model.init(jax.random.key(0), dev_batch)
+    state = jax.device_put(
+        TrainState.create(variables, tx), replicated_sharding(mesh)
+    )
+    return cfg, model, tx, mesh, state, batch
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, tiny_setup):
+        from tricolo_tpu.parallel import shard_batch
+
+        cfg, model, tx, mesh, state, batch = tiny_setup
+        step = make_train_step(model, tx, cfg)
+        sharded = shard_batch(batch, mesh)
+        rng = jax.random.PRNGKey(0)
+        # The step donates its input state; work on a copy so the
+        # module-scoped fixture state survives for later tests.
+        state = jax.tree.map(jnp.copy, state)
+        first = None
+        for _ in range(12):
+            state, losses = step(state, sharded, 3e-3, rng)
+            if first is None:
+                first = float(losses["train_loss/total_loss"])
+        last = float(losses["train_loss/total_loss"])
+        assert last < first
+
+    def test_eval_step_outputs(self, tiny_setup):
+        from tricolo_tpu.parallel import shard_batch
+
+        cfg, model, tx, mesh, state, batch = tiny_setup
+        estep = make_eval_step(model, cfg)
+        output, losses = estep(state, shard_batch(batch, mesh))
+        assert set(output) == {"text_features", "voxel_features"}
+        assert "val_loss/total_loss" in losses
+        norms = np.linalg.norm(np.asarray(output["text_features"]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tiny_setup, tmp_path):
+        cfg, model, tx, mesh, state, batch = tiny_setup
+        path = str(tmp_path / "ck.ckpt")
+        save_checkpoint(path, state, epoch=3, extra={"metrics": {"x": 1.0}})
+        raw = load_checkpoint(path)
+        assert int(raw["epoch"]) == 3
+        leaves_a = jax.tree.leaves(state.params)
+        leaves_b = jax.tree.leaves(raw["params"])
+        assert len(leaves_a) == len(leaves_b)
+        for a, b in zip(leaves_a, leaves_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_top_k_retention(self, tiny_setup, tmp_path):
+        cfg, model, tx, mesh, state, batch = tiny_setup
+        mgr = CheckpointManager(str(tmp_path), monitor="m", save_top_k=2)
+        scores = [(0, 1.0), (1, 3.0), (2, 2.0), (3, 0.5), (4, 5.0)]
+        for epoch, score in scores:
+            mgr.save(state, epoch, {"m": score})
+        kept = sorted(f for f in os.listdir(tmp_path) if f.endswith(".ckpt"))
+        assert kept == ["epoch=1.ckpt", "epoch=4.ckpt"]
+        assert mgr.best_path.endswith("epoch=4.ckpt")
+
+    def test_prune_disabled_encoders(self, tiny_setup):
+        cfg, model, tx, mesh, state, batch = tiny_setup
+        params = {"text_encoder": {}, "voxel_encoder": {}, "image_encoder": {}}
+        cfg2 = load_config(["data=synthetic"])  # no image/voxel encoders
+        pruned = prune_disabled_encoders(params, cfg2)
+        assert set(pruned) == {"text_encoder"}
+        cfg3 = bi_v_cfg()
+        pruned3 = prune_disabled_encoders(params, cfg3)
+        assert set(pruned3) == {"text_encoder", "voxel_encoder"}

@@ -1,0 +1,24 @@
+"""Device mesh, shardings, and explicit-collective loss formulations.
+
+The whole "distributed backend" of this framework (SURVEY.md §2.3): a 1-D
+data-parallel `jax.sharding.Mesh` over ICI, PartitionSpec helpers, and a
+`shard_map` NT-Xent that gathers embeddings across the mesh so contrastive
+negatives span the global batch. The reference has no distribution layer at
+all (single-GPU Lightning defaults, per-device negatives only).
+"""
+
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from .collectives import make_global_nt_xent
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "make_global_nt_xent",
+]

@@ -1,0 +1,121 @@
+"""Checkpointing: msgpack serialization + top-k-by-metric retention.
+
+Role parity with Lightning's ModelCheckpoint as configured by the reference
+(config.yaml:39-47: monitor val_eval/RR@5, mode max, save_top_k 3, every 2
+epochs, filename "{epoch}", dirpath <experiment>/training) plus the resume
+path (train.py:40-45) and the key-pruned test-time load (test.py:20-28:
+state_dict keys of disabled encoders are deleted before loading).
+
+Format: a single msgpack file holding params / batch_stats / opt_state
+pytrees and step/epoch counters — flax.serialization, no orbax daemon, no
+directory layout to corrupt. A sidecar ``checkpoints.json`` tracks the
+retained top-k and their monitored scores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, state, epoch: int, extra: dict | None = None):
+    """Serialize train state (+ counters) to ``path``."""
+    payload = {
+        "step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "epoch": np.asarray(epoch),
+        "extra": extra or {},
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_checkpoint(path: str, template: dict | None = None) -> dict:
+    """Restore a checkpoint dict.
+
+    With ``template`` (same structure as the saved payload) the arrays come
+    back with the template's exact pytree types; without it, raw nested
+    dicts of numpy arrays are returned (sufficient for param loading).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if template is not None:
+        return serialization.from_bytes(template, data)
+    return serialization.msgpack_restore(data)
+
+
+def prune_disabled_encoders(params: dict, cfg) -> dict:
+    """Drop disabled-encoder params before a partial load (test.py:20-28).
+
+    The reference deletes image_/voxel_encoder state-dict keys when those
+    encoders are configured off; flax params nest by module name, so the
+    top-level subtree is dropped.
+    """
+    pruned = dict(params)
+    if cfg.model.image_encoder is None:
+        pruned.pop("image_encoder", None)
+    if cfg.model.voxel_encoder is None:
+        pruned.pop("voxel_encoder", None)
+    return pruned
+
+
+class CheckpointManager:
+    """Top-k retention by a monitored metric (mode max or min)."""
+
+    def __init__(
+        self,
+        dirpath: str,
+        monitor: str = "val_eval/RR@5",
+        mode: str = "max",
+        save_top_k: int = 3,
+    ):
+        self.dirpath = dirpath
+        self.monitor = monitor
+        self.mode = mode
+        self.save_top_k = save_top_k
+        self._index_path = os.path.join(dirpath, "checkpoints.json")
+        self._entries: list[dict] = []
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                self._entries = json.load(f)["entries"]
+
+    def _better(self, a: float, b: float) -> bool:
+        return a > b if self.mode == "max" else a < b
+
+    def save(self, state, epoch: int, metrics: dict[str, float]) -> str | None:
+        """Save if the monitored score makes the top-k; returns path or None."""
+        score = float(metrics[self.monitor])
+        if self.save_top_k >= 0 and len(self._entries) >= self.save_top_k:
+            worst = min if self.mode == "max" else max
+            worst_entry = worst(self._entries, key=lambda e: e["score"])
+            if not self._better(score, worst_entry["score"]):
+                return None
+
+        path = os.path.join(self.dirpath, f"epoch={epoch}.ckpt")
+        save_checkpoint(path, state, epoch, extra={"metrics": metrics})
+        self._entries = [e for e in self._entries if e["path"] != path]
+        self._entries.append({"path": path, "score": score, "epoch": epoch})
+
+        if self.save_top_k >= 0:
+            reverse = self.mode == "max"
+            self._entries.sort(key=lambda e: e["score"], reverse=reverse)
+            for stale in self._entries[self.save_top_k :]:
+                if os.path.exists(stale["path"]):
+                    os.remove(stale["path"])
+            self._entries = self._entries[: self.save_top_k]
+
+        with open(self._index_path, "w") as f:
+            json.dump({"monitor": self.monitor, "entries": self._entries}, f, indent=2)
+        return path
+
+    @property
+    def best_path(self) -> str | None:
+        return self._entries[0]["path"] if self._entries else None

@@ -1,0 +1,214 @@
+"""Host-side training orchestration (the reference's Lightning-Trainer role).
+
+fit(): epoch loop over the compiled train step, validation every
+``check_val_every_n_epoch`` epochs with retrieval metrics, top-k
+checkpointing by val RR@5, reference LR schedule, seeded determinism, and a
+"simple"-profiler wall-clock summary (reference config.yaml:30-47,
+train.py:10-49).
+
+test(): checkpoint load with disabled-encoder pruning, full-split embedding
+collection, metric printout, ``output.p`` pickle + ``nearest.jsonl``
+artifacts (reference test.py:10-36, tricolo_net.py:99-122).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+from ..data.loader import DataModule
+from ..models.tricolo_net import TriCoLoNet
+from ..parallel import make_mesh, replicated_sharding, shard_batch
+from ..evaluation import compute_metrics
+from .checkpoint import CheckpointManager, load_checkpoint, prune_disabled_encoders, save_checkpoint
+from .logger import MetricsLogger
+from .optim import lr_for_epoch, make_optimizer
+from .state import TrainState
+from .steps import make_eval_step, make_train_step, shape_embedding_sum
+
+
+class Trainer:
+    def __init__(self, cfg, use_explicit_collectives: bool = False):
+        self.cfg = cfg
+        self.mesh = make_mesh(cfg.parallel.data_parallel)
+        self.model = TriCoLoNet.from_config(cfg)
+        self.tx = make_optimizer(cfg)
+
+        pair_loss = None
+        if use_explicit_collectives and cfg.loss.name == "NTXentLoss":
+            from ..parallel.collectives import make_global_nt_xent
+
+            params = cfg.loss.NTXentLoss
+            pair_loss = make_global_nt_xent(
+                self.mesh, params.temperature, params.alpha_weight
+            )
+        self.train_step = make_train_step(self.model, self.tx, cfg, pair_loss)
+        self.eval_step = make_eval_step(self.model, cfg)
+        self.rng = jax.random.PRNGKey(cfg.train_seed)
+        self._timers: dict[str, float] = defaultdict(float)
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, sample_batch: dict) -> TrainState:
+        """Initialize parameters from a sample batch's shapes."""
+        from ..data.device_prep import prepare_device_batch
+
+        device_batch = prepare_device_batch(
+            {k: v for k, v in sample_batch.items() if isinstance(v, np.ndarray)},
+            self.cfg.data.voxel_size,
+        )
+        init_rng, self.rng = jax.random.split(self.rng)
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
+            init_rng, device_batch, train=False
+        )
+        state = TrainState.create(variables, self.tx)
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def load_state(self, ckpt_path: str, for_inference: bool = False):
+        """Restore state (and epoch) from a checkpoint file."""
+        raw = load_checkpoint(ckpt_path)
+        params = raw["params"]
+        if for_inference:
+            params = prune_disabled_encoders(params, self.cfg)
+        state = TrainState(
+            step=np.asarray(raw["step"]),
+            params=params,
+            batch_stats=raw["batch_stats"],
+            opt_state=self.tx.init(params) if for_inference else None,
+        )
+        if not for_inference:
+            # Restore optimizer moments with proper structure.
+            template = self.tx.init(params)
+            from flax import serialization
+
+            opt_state = serialization.from_state_dict(template, raw["opt_state"])
+            state = state.replace(opt_state=opt_state)
+        state = jax.device_put(state, replicated_sharding(self.mesh))
+        return state, int(raw["epoch"])
+
+    # -- fit --------------------------------------------------------------
+
+    def fit(self, data_module: DataModule, resume_ckpt: str | None = None):
+        cfg = self.cfg
+        np.random.seed(cfg.train_seed)
+        data_module.setup("fit")
+        train_loader = data_module.train_loader()
+        val_loader = data_module.val_loader()
+
+        logger = MetricsLogger(cfg)
+        ckpt_dir = cfg.checkpoint_monitor.dirpath
+        manager = CheckpointManager(
+            ckpt_dir,
+            monitor=cfg.checkpoint_monitor.monitor,
+            mode=cfg.checkpoint_monitor.mode,
+            save_top_k=cfg.checkpoint_monitor.save_top_k,
+        )
+
+        first_batch = next(iter(train_loader))
+        if resume_ckpt is not None:
+            state, last_epoch = self.load_state(resume_ckpt)
+            start_epoch = last_epoch + 1
+        else:
+            state = self.init_state(first_batch)
+            start_epoch = 0
+
+        dropout_rng, self.rng = jax.random.split(self.rng)
+        log_every = cfg.trainer.log_every_n_steps
+        val_every = cfg.trainer.check_val_every_n_epoch
+        global_step = int(np.asarray(state.step))
+
+        for epoch in range(start_epoch, cfg.trainer.max_epochs):
+            lr = lr_for_epoch(cfg, epoch)
+            train_loader.set_epoch(epoch)
+            tic = time.perf_counter()
+            last_losses = {}
+            for batch in train_loader:
+                device_batch = shard_batch(batch, self.mesh)
+                state, loss_dict = self.train_step(state, device_batch, lr, dropout_rng)
+                global_step += 1
+                if global_step % log_every == 0:
+                    last_losses = {k: float(v) for k, v in loss_dict.items()}
+                    logger.log({**last_losses, "lr": lr}, global_step, epoch)
+            self._timers["train"] += time.perf_counter() - tic
+
+            if (epoch + 1) % val_every == 0 or epoch == cfg.trainer.max_epochs - 1:
+                tic = time.perf_counter()
+                embeddings_dict, val_losses = self.collect_embeddings(
+                    state, val_loader, with_loss=True
+                )
+                metrics = compute_metrics(
+                    embeddings_dict,
+                    nearest_path=os.path.join(logger.save_dir, "nearest.jsonl"),
+                )
+                summary = metrics.summary("val_eval/")
+                logger.log({**summary, **val_losses}, global_step, epoch)
+                print(
+                    f"epoch {epoch}: "
+                    + " ".join(f"{k.split('/')[-1]}={v:.2f}" for k, v in summary.items())
+                )
+                self._timers["validate"] += time.perf_counter() - tic
+
+                tic = time.perf_counter()
+                manager.save(state, epoch, summary)
+                self._timers["checkpoint"] += time.perf_counter() - tic
+
+        if cfg.trainer.profiler == "simple":
+            total = sum(self._timers.values()) or 1.0
+            print("\nProfiler (simple) — wall clock by phase:")
+            for phase, seconds in sorted(self._timers.items(), key=lambda kv: -kv[1]):
+                print(f"  {phase:<12} {seconds:8.2f}s  {100 * seconds / total:5.1f}%")
+        logger.close()
+        return state, manager
+
+    # -- evaluation -------------------------------------------------------
+
+    def collect_embeddings(self, state, loader, with_loss: bool = False):
+        """Run the eval step over a loader; build the caption-tuple dict
+        (reference validation/test steps + _collate_output,
+        tricolo_net.py:73-158). Padded tail rows are dropped via num_valid."""
+        tuples = []
+        loss_totals: dict[str, float] = defaultdict(float)
+        n_batches = 0
+        for batch in loader:
+            device_batch = shard_batch(batch, self.mesh)
+            output, loss_dict = self.eval_step(state, device_batch)
+            n_valid = batch["num_valid"]
+            text = np.asarray(output["text_features"])[:n_valid]
+            shape = np.asarray(shape_embedding_sum(output))[:n_valid]
+            for i in range(n_valid):
+                tuples.append(
+                    (None, batch["category"][i], batch["model_id"][i], text[i], shape[i])
+                )
+            if with_loss:
+                n_batches += 1
+                for key, value in loss_dict.items():
+                    loss_totals[key] += float(value)
+        losses = {k: v / max(n_batches, 1) for k, v in loss_totals.items()}
+        return {"caption_embedding_tuples": tuples}, losses
+
+    def test(self, data_module: DataModule, ckpt_path: str):
+        """Reference test path: load → embed split → metrics → artifacts."""
+        cfg = self.cfg
+        np.random.seed(cfg.test_seed)
+        data_module.setup("test")
+        loader = data_module.test_loader()
+        state, _ = self.load_state(ckpt_path, for_inference=True)
+
+        embeddings_dict, _ = self.collect_embeddings(state, loader)
+        metrics = None
+        if cfg.inference.evaluate:
+            # nearest.jsonl lands in CWD exactly as upstream does
+            # (eval_retrieval.py:292).
+            metrics = compute_metrics(embeddings_dict, print_results=True)
+        if cfg.inference.save_predictions:
+            os.makedirs(cfg.inference.output_dir, exist_ok=True)
+            out_path = os.path.join(cfg.inference.output_dir, "output.p")
+            with open(out_path, "wb") as f:
+                pickle.dump(embeddings_dict, f)
+            print(f"\nPredictions saved at {out_path}")
+        return metrics
