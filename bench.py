@@ -64,12 +64,15 @@ def main():
     steps = cfg.bench.steps
     for i in range(warmup):
         state, losses = train_step(state, batches[i % 2], lr, rng)
-    jax.block_until_ready(state.params)
+    # Force a host fetch: on the tunneled runtime block_until_ready
+    # acknowledges dispatch without waiting for execution, so the only
+    # reliable synchronization point is a device→host transfer.
+    float(losses["train_loss/total_loss"])
 
     tic = time.perf_counter()
     for i in range(steps):
         state, losses = train_step(state, batches[i % 2], lr, rng)
-    jax.block_until_ready(state.params)
+    float(losses["train_loss/total_loss"])  # sync: drains the whole chain
     elapsed = time.perf_counter() - tic
 
     pairs_per_sec = cfg.data.batch_size * steps / elapsed
