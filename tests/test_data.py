@@ -59,18 +59,27 @@ class TestSyntheticDataset:
 
 
 class TestCollate:
-    def test_static_shapes_and_mask(self, synth_train):
+    def test_static_shapes_and_packing(self, synth_train):
+        from tricolo_tpu.data.device_prep import VOXEL_PAD_SENTINEL
+
         items = [synth_train[i] for i in range(4)]
         n_pad = synth_train.max_voxel_points
         batch = collate(items, n_pad)
-        assert batch["voxel_coords"].shape == (4, n_pad, 3)
-        assert batch["voxel_feats"].shape == (4, n_pad, 3)
-        assert batch["voxel_mask"].shape == (4, n_pad)
+        assert batch["voxel_flat"].shape == (4, n_pad)
+        assert batch["voxel_flat"].dtype == np.uint32
+        assert batch["voxel_rgb"].shape == (4, n_pad)
         for i, item in enumerate(items):
             n = item["voxel_coords"].shape[0]
-            assert batch["voxel_mask"][i].sum() == n
-            np.testing.assert_array_equal(batch["voxel_coords"][i, :n], item["voxel_coords"])
-            assert (batch["voxel_feats"][i, n:] == 0).all()
+            c = item["voxel_coords"].astype(np.uint32)
+            expect_flat = (c[:, 0] * 256 + c[:, 1]) * 256 + c[:, 2]
+            np.testing.assert_array_equal(batch["voxel_flat"][i, :n], expect_flat)
+            # Real entries strictly increasing, padding = sentinel.
+            assert (np.diff(batch["voxel_flat"][i, :n].astype(np.int64)) > 0).all()
+            assert (batch["voxel_flat"][i, n:] == VOXEL_PAD_SENTINEL).all()
+            f = item["voxel_feats"].astype(np.uint32)
+            np.testing.assert_array_equal(
+                batch["voxel_rgb"][i, :n], f[:, 0] | (f[:, 1] << 8) | (f[:, 2] << 16)
+            )
 
 
 class TestBatchIterator:
@@ -108,33 +117,42 @@ class TestBatchIterator:
 
 class TestDevicePrep:
     def test_densify_matches_numpy(self, synth_train):
-        batch = collate([synth_train[i] for i in range(3)], synth_train.max_voxel_points)
+        items = [synth_train[i] for i in range(3)]
+        batch = collate(items, synth_train.max_voxel_points)
         D = synth_train.voxel_size
         dense = np.asarray(
-            densify_voxels(
-                jnp.asarray(batch["voxel_coords"]),
-                jnp.asarray(batch["voxel_feats"]),
-                jnp.asarray(batch["voxel_mask"]),
-                D,
-            )
+            densify_voxels(jnp.asarray(batch["voxel_flat"]), jnp.asarray(batch["voxel_rgb"]), D)
         )
         expect = np.zeros((3, D, D, D, 3), np.float32)
-        for i in range(3):
-            for c, f, m in zip(batch["voxel_coords"][i], batch["voxel_feats"][i], batch["voxel_mask"][i]):
-                if m:
-                    expect[i, c[0], c[1], c[2]] += f / 255.0
+        for i, item in enumerate(items):
+            for c, f in zip(item["voxel_coords"], item["voxel_feats"]):
+                expect[i, c[0], c[1], c[2]] = f / 255.0
         np.testing.assert_allclose(dense, expect, atol=1e-6)
 
     def test_padding_preserves_origin_site(self):
-        # A real point at (0,0,0) must survive the padded entries that also
-        # target (0,0,0) with zero features.
-        coords = np.zeros((1, 4, 3), np.uint8)
-        feats = np.zeros((1, 4, 3), np.uint8)
-        feats[0, 0] = 255
-        mask = np.array([[True, False, False, False]])
-        dense = np.asarray(densify_voxels(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(mask), 4))
+        # A real point at (0,0,0) must survive padding entries; padded slots
+        # land in the per-sample trash region, never the real grid.
+        from tricolo_tpu.data.device_prep import pack_sparse_voxels
+
+        coords = np.zeros((1, 3), np.uint8)
+        feats = np.full((1, 3), 255, np.uint8)
+        flat, rgb = pack_sparse_voxels(coords, feats, 4)
+        dense = np.asarray(densify_voxels(jnp.asarray(flat[None]), jnp.asarray(rgb[None]), 4))
         np.testing.assert_allclose(dense[0, 0, 0, 0], [1.0, 1.0, 1.0])
         assert dense.sum() == pytest.approx(3.0)
+
+    def test_densify_two_samples_differ(self):
+        # Same local site in different samples must not collide.
+        from tricolo_tpu.data.device_prep import pack_sparse_voxels
+
+        c = np.array([[1, 2, 3]], np.uint8)
+        f0 = pack_sparse_voxels(c, np.array([[255, 0, 0]], np.uint8), 2)
+        f1 = pack_sparse_voxels(c, np.array([[0, 255, 0]], np.uint8), 2)
+        flat = np.stack([f0[0], f1[0]])
+        rgb = np.stack([f0[1], f1[1]])
+        dense = np.asarray(densify_voxels(jnp.asarray(flat), jnp.asarray(rgb), 4))
+        np.testing.assert_allclose(dense[0, 1, 2, 3], [1.0, 0.0, 0.0])
+        np.testing.assert_allclose(dense[1, 1, 2, 3], [0.0, 1.0, 0.0])
 
     def test_normalize_images(self):
         rng = np.random.default_rng(0)

@@ -230,7 +230,18 @@ class SyntheticDataset:
             model_id = f"{split}_model_{m:04d}"
             key = ("synthetic", model_id)
             n_points = int(rng.integers(32, 256))
-            coords = rng.integers(0, self.voxel_size, (n_points, 3), dtype=np.uint8)
+            # Sorted-unique sites, like `nonzero` on a dense grid yields —
+            # the contract pack_sparse_voxels/densify_voxels rely on.
+            d3 = self.voxel_size**3
+            flat = np.sort(rng.choice(d3, size=n_points, replace=False))
+            coords = np.stack(
+                [
+                    flat // (self.voxel_size * self.voxel_size),
+                    (flat // self.voxel_size) % self.voxel_size,
+                    flat % self.voxel_size,
+                ],
+                axis=1,
+            ).astype(np.uint8)
             feats = rng.integers(0, 256, (n_points, 3), dtype=np.uint8)
             images = rng.integers(
                 0, 256, (self.num_views, self.image_size, self.image_size, 3), dtype=np.uint8

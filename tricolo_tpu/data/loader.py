@@ -30,29 +30,30 @@ def collate(items: list[dict], max_voxel_points: int) -> dict[str, Any]:
     """Stack items into one fixed-shape numpy batch.
 
     The sparse-voxel convention diverges from the reference's ragged
-    (ΣN, 4) concatenation (data_module.py:52-64): each sample's points are
-    padded to ``max_voxel_points`` with a validity mask, giving a static
-    (B, N, 3) shape the device scatter consumes (device_prep.densify_voxels).
+    (ΣN, 4) concatenation (data_module.py:52-64): each sample's points pack
+    into two fixed-width uint32 words — a flattened sorted site index (max-
+    uint sentinel for padding) and r|g<<8|b<<16 — giving a static (B, N)
+    shape that feeds the TPU-tuned sorted-unique set-scatter
+    (device_prep.densify_voxels).
     """
+    from .device_prep import pack_sparse_voxels
+
     batch_size = len(items)
     n_pad = max_voxel_points
-    coords = np.zeros((batch_size, n_pad, 3), dtype=np.uint8)
-    feats = np.zeros((batch_size, n_pad, 3), dtype=np.uint8)
-    mask = np.zeros((batch_size, n_pad), dtype=bool)
+    flat = np.empty((batch_size, n_pad), dtype=np.uint32)
+    rgb = np.empty((batch_size, n_pad), dtype=np.uint32)
     for i, item in enumerate(items):
-        n = min(item["voxel_coords"].shape[0], n_pad)
-        coords[i, :n] = item["voxel_coords"][:n]
-        feats[i, :n] = item["voxel_feats"][:n]
-        mask[i, :n] = True
+        flat[i], rgb[i] = pack_sparse_voxels(
+            item["voxel_coords"], item["voxel_feats"], n_pad
+        )
 
     batch: dict[str, Any] = {
         "model_id": [item["model_id"] for item in items],
         "category": [item["category"] for item in items],
         "tokens": np.stack([item["tokens"] for item in items]).astype(np.int32),
         "images": np.stack([item["images"] for item in items]),
-        "voxel_coords": coords,
-        "voxel_feats": feats,
-        "voxel_mask": mask,
+        "voxel_flat": flat,
+        "voxel_rgb": rgb,
     }
     for key in ("clip_embeddings_img", "clip_embeddings_text"):
         if key in items[0]:
