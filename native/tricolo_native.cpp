@@ -1,0 +1,309 @@
+// tricolo_native: host-side data-loading runtime (C++, ctypes ABI).
+//
+// The reference's load path (npz decode + dense->sparse conversion for every
+// model of a split, general_dataset.py:30-69) is the framework's host-side
+// throughput bottleneck (SURVEY.md "hard parts" iv: the input pipeline must
+// keep a TPU slice fed). This library fuses the three hot steps in native
+// code:
+//
+//   1. ZIP central-directory parse of the .npz archive,
+//   2. raw-deflate inflate of the voxel .npy member (zlib),
+//   3. one linear sweep over the (4, D, D, D) RGBA grid emitting the packed
+//      u32 (flat-site, rgb) words the device scatter consumes
+//      (tricolo_tpu/data/device_prep.py) -- sorted and unique by
+//      construction.
+//
+// Also exposes a gzip-NRRD payload decoder for the offline preprocessing
+// pipeline. Pure C ABI; bound via ctypes (no pybind11 in this image).
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+void set_err(char* err, int errlen, const std::string& msg) {
+  if (err && errlen > 0) {
+    std::snprintf(err, errlen, "%s", msg.c_str());
+  }
+}
+
+struct FileBuf {
+  std::vector<uint8_t> data;
+  bool ok = false;
+};
+
+FileBuf read_file(const char* path) {
+  FileBuf out;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return out;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  out.data.resize(static_cast<size_t>(size));
+  out.ok = size >= 0 &&
+           std::fread(out.data.data(), 1, out.data.size(), f) == out.data.size();
+  std::fclose(f);
+  return out;
+}
+
+uint16_t rd16(const uint8_t* p) { return static_cast<uint16_t>(p[0] | (p[1] << 8)); }
+uint32_t rd32(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16) | (static_cast<uint32_t>(p[3]) << 24);
+}
+
+constexpr uint32_t kEocdSig = 0x06054b50;
+constexpr uint32_t kCdSig = 0x02014b50;
+constexpr uint32_t kLocalSig = 0x04034b50;
+
+struct ZipMember {
+  size_t data_offset = 0;
+  size_t comp_size = 0;
+  size_t uncomp_size = 0;
+  uint16_t method = 0;  // 0 stored, 8 deflate
+  bool found = false;
+};
+
+// Locate a member via the central directory (sizes there are reliable even
+// when local headers defer to data descriptors).
+ZipMember zip_find(const std::vector<uint8_t>& zip, const std::string& name) {
+  ZipMember out;
+  if (zip.size() < 22) return out;
+  // EOCD: scan backwards over the (possibly comment-extended) tail.
+  size_t eocd = std::string::npos;
+  size_t scan_start = zip.size() >= (1 << 16) + 22 ? zip.size() - (1 << 16) - 22 : 0;
+  for (size_t i = zip.size() - 22 + 1; i-- > scan_start;) {
+    if (rd32(&zip[i]) == kEocdSig) {
+      eocd = i;
+      break;
+    }
+  }
+  if (eocd == std::string::npos) return out;
+  uint16_t n_entries = rd16(&zip[eocd + 10]);
+  size_t cd_offset = rd32(&zip[eocd + 16]);
+
+  size_t pos = cd_offset;
+  for (uint16_t i = 0; i < n_entries; ++i) {
+    if (pos + 46 > zip.size() || rd32(&zip[pos]) != kCdSig) return out;
+    uint16_t method = rd16(&zip[pos + 10]);
+    uint32_t comp_size = rd32(&zip[pos + 20]);
+    uint32_t uncomp_size = rd32(&zip[pos + 24]);
+    uint16_t name_len = rd16(&zip[pos + 28]);
+    uint16_t extra_len = rd16(&zip[pos + 30]);
+    uint16_t comment_len = rd16(&zip[pos + 32]);
+    uint32_t local_offset = rd32(&zip[pos + 42]);
+    std::string entry_name(reinterpret_cast<const char*>(&zip[pos + 46]), name_len);
+    if (entry_name == name) {
+      // Local header gives the true data offset (its extra field can differ
+      // in length from the central one).
+      if (local_offset + 30 > zip.size() || rd32(&zip[local_offset]) != kLocalSig) {
+        return out;
+      }
+      uint16_t lname = rd16(&zip[local_offset + 26]);
+      uint16_t lextra = rd16(&zip[local_offset + 28]);
+      out.data_offset = local_offset + 30 + lname + lextra;
+      out.comp_size = comp_size;
+      out.uncomp_size = uncomp_size;
+      out.method = method;
+      out.found = true;
+      return out;
+    }
+    pos += 46 + name_len + extra_len + comment_len;
+  }
+  return out;
+}
+
+bool inflate_raw(const uint8_t* src, size_t src_len, uint8_t* dst, size_t dst_len) {
+  z_stream strm{};
+  if (inflateInit2(&strm, -MAX_WBITS) != Z_OK) return false;
+  strm.next_in = const_cast<uint8_t*>(src);
+  strm.avail_in = static_cast<uInt>(src_len);
+  strm.next_out = dst;
+  strm.avail_out = static_cast<uInt>(dst_len);
+  int rc = inflate(&strm, Z_FINISH);
+  inflateEnd(&strm);
+  return rc == Z_STREAM_END && strm.total_out == dst_len;
+}
+
+// Parse the .npy header; returns data offset within buf, fills dims (C
+// order), checks dtype is uint8 ('|u1') and C contiguity.
+bool npy_parse_u8(const std::vector<uint8_t>& buf, size_t* data_offset,
+                  std::vector<int64_t>* dims, std::string* err) {
+  if (buf.size() < 10 || std::memcmp(buf.data(), "\x93NUMPY", 6) != 0) {
+    *err = "not an npy payload";
+    return false;
+  }
+  uint8_t major = buf[6];
+  size_t header_len, header_off;
+  if (major == 1) {
+    header_len = rd16(&buf[8]);
+    header_off = 10;
+  } else {
+    header_len = rd32(&buf[8]);
+    header_off = 12;
+  }
+  std::string header(reinterpret_cast<const char*>(&buf[header_off]), header_len);
+  if (header.find("'|u1'") == std::string::npos &&
+      header.find("'uint8'") == std::string::npos) {
+    *err = "npy dtype is not uint8: " + header;
+    return false;
+  }
+  if (header.find("'fortran_order': True") != std::string::npos) {
+    *err = "fortran-order npy not supported";
+    return false;
+  }
+  size_t lp = header.find('(');
+  size_t rp = header.find(')', lp);
+  if (lp == std::string::npos || rp == std::string::npos) {
+    *err = "npy shape not found";
+    return false;
+  }
+  dims->clear();
+  std::string shape = header.substr(lp + 1, rp - lp - 1);
+  const char* p = shape.c_str();
+  while (*p) {
+    char* end;
+    long v = std::strtol(p, &end, 10);
+    if (end == p) break;
+    dims->push_back(v);
+    p = end;
+    while (*p == ',' || *p == ' ') ++p;
+  }
+  *data_offset = header_off + header_len;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Version tag so the Python binding can detect stale builds.
+int32_t tricolo_native_abi_version() { return 3; }
+
+// Dense (4, D, D, D) u8 RGBA C-order grid -> packed words. Returns the
+// occupied-site count (may exceed n_cap; only n_cap entries are written).
+int64_t tricolo_dense_rgba_to_packed(const uint8_t* grid, int64_t d,
+                                     uint32_t* flat, uint32_t* rgb,
+                                     int64_t n_cap) {
+  const int64_t d3 = d * d * d;
+  const uint8_t* r_plane = grid;
+  const uint8_t* g_plane = grid + d3;
+  const uint8_t* b_plane = grid + 2 * d3;
+  const uint8_t* a_plane = grid + 3 * d3;
+  int64_t count = 0;
+  // Single linear sweep in site order -> output sorted & unique for free.
+  for (int64_t site = 0; site < d3; ++site) {
+    if (a_plane[site]) {
+      if (count < n_cap) {
+        const uint32_t x = static_cast<uint32_t>(site / (d * d));
+        const uint32_t y = static_cast<uint32_t>((site / d) % d);
+        const uint32_t z = static_cast<uint32_t>(site % d);
+        flat[count] = (x * 256u + y) * 256u + z;
+        rgb[count] = static_cast<uint32_t>(r_plane[site]) |
+                     (static_cast<uint32_t>(g_plane[site]) << 8) |
+                     (static_cast<uint32_t>(b_plane[site]) << 16);
+      }
+      ++count;
+    }
+  }
+  return count;
+}
+
+// Read + decompress an npz member into caller-provided buffer. Returns the
+// uncompressed size, or -1 on error. Query size first with out=nullptr.
+int64_t tricolo_npz_read(const char* path, const char* member, uint8_t* out,
+                         int64_t out_cap, char* err, int32_t errlen) {
+  FileBuf file = read_file(path);
+  if (!file.ok) {
+    set_err(err, errlen, std::string("cannot read file: ") + path);
+    return -1;
+  }
+  std::string member_name = std::string(member) + ".npy";
+  ZipMember zm = zip_find(file.data, member_name);
+  if (!zm.found) zm = zip_find(file.data, member);
+  if (!zm.found) {
+    set_err(err, errlen, std::string("member not found: ") + member);
+    return -1;
+  }
+  if (zm.data_offset + zm.comp_size > file.data.size()) {
+    set_err(err, errlen, "corrupt zip: member overruns file");
+    return -1;
+  }
+  if (out == nullptr) return static_cast<int64_t>(zm.uncomp_size);
+  if (out_cap < static_cast<int64_t>(zm.uncomp_size)) {
+    set_err(err, errlen, "output buffer too small");
+    return -1;
+  }
+  const uint8_t* src = file.data.data() + zm.data_offset;
+  if (zm.method == 0) {
+    std::memcpy(out, src, zm.uncomp_size);
+  } else if (zm.method == 8) {
+    if (!inflate_raw(src, zm.comp_size, out, zm.uncomp_size)) {
+      set_err(err, errlen, "deflate stream corrupt");
+      return -1;
+    }
+  } else {
+    set_err(err, errlen, "unsupported zip compression method");
+    return -1;
+  }
+  return static_cast<int64_t>(zm.uncomp_size);
+}
+
+// Fused: npz member -> npy parse -> packed sparse voxels. Returns occupied
+// count (clamped writes at n_cap), fills *d_out with the grid size, or -1.
+int64_t tricolo_load_npz_voxels_packed(const char* path, const char* member,
+                                       uint32_t* flat, uint32_t* rgb,
+                                       int64_t n_cap, int64_t* d_out,
+                                       char* err, int32_t errlen) {
+  int64_t size = tricolo_npz_read(path, member, nullptr, 0, err, errlen);
+  if (size < 0) return -1;
+  std::vector<uint8_t> payload(static_cast<size_t>(size));
+  if (tricolo_npz_read(path, member, payload.data(), size, err, errlen) < 0) {
+    return -1;
+  }
+  size_t data_offset;
+  std::vector<int64_t> dims;
+  std::string perr;
+  if (!npy_parse_u8(payload, &data_offset, &dims, &perr)) {
+    set_err(err, errlen, perr);
+    return -1;
+  }
+  if (dims.size() != 4 || dims[0] != 4 || dims[1] != dims[2] ||
+      dims[2] != dims[3]) {
+    set_err(err, errlen, "expected (4, D, D, D) RGBA voxel grid");
+    return -1;
+  }
+  const int64_t d = dims[1];
+  if (static_cast<int64_t>(payload.size() - data_offset) < 4 * d * d * d) {
+    set_err(err, errlen, "npy payload truncated");
+    return -1;
+  }
+  if (d_out) *d_out = d;
+  return tricolo_dense_rgba_to_packed(payload.data() + data_offset, d, flat,
+                                      rgb, n_cap);
+}
+
+// Decode a gzip stream (NRRD payloads) into caller buffer; returns
+// decompressed size or -1. Query with out=nullptr is unsupported (gzip has
+// no reliable size field for >4GB); pass expected capacity.
+int64_t tricolo_gzip_decode(const uint8_t* src, int64_t src_len, uint8_t* out,
+                            int64_t out_cap) {
+  z_stream strm{};
+  if (inflateInit2(&strm, 16 + MAX_WBITS) != Z_OK) return -1;
+  strm.next_in = const_cast<uint8_t*>(src);
+  strm.avail_in = static_cast<uInt>(src_len);
+  strm.next_out = out;
+  strm.avail_out = static_cast<uInt>(out_cap);
+  int rc = inflate(&strm, Z_FINISH);
+  int64_t total = static_cast<int64_t>(strm.total_out);
+  inflateEnd(&strm);
+  return rc == Z_STREAM_END ? total : -1;
+}
+
+}  // extern "C"

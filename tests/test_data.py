@@ -42,9 +42,13 @@ class TestSyntheticDataset:
         assert item["tokens"].dtype == np.int32
         assert item["images"].shape == (d.num_views, d.image_size, d.image_size, 3)
         assert item["images"].dtype == np.uint8
-        assert item["voxel_coords"].dtype == np.uint8
-        assert item["voxel_coords"].shape[1] == 3
-        assert (item["voxel_coords"] < d.voxel_size).all()
+        assert item["voxel_flat"].dtype == np.uint32
+        assert item["voxel_rgb"].dtype == np.uint32
+        assert item["voxel_flat"].shape == item["voxel_rgb"].shape
+        # Decoded coordinates stay inside the grid.
+        x = item["voxel_flat"] >> 16
+        z = item["voxel_flat"] & 0xFF
+        assert (x < d.voxel_size).all() and (z < d.voxel_size).all()
 
     def test_deterministic_and_split_distinct(self, synth_cfg):
         a = build_dataset(synth_cfg, "train")
@@ -69,17 +73,13 @@ class TestCollate:
         assert batch["voxel_flat"].dtype == np.uint32
         assert batch["voxel_rgb"].shape == (4, n_pad)
         for i, item in enumerate(items):
-            n = item["voxel_coords"].shape[0]
-            c = item["voxel_coords"].astype(np.uint32)
-            expect_flat = (c[:, 0] * 256 + c[:, 1]) * 256 + c[:, 2]
-            np.testing.assert_array_equal(batch["voxel_flat"][i, :n], expect_flat)
+            n = item["voxel_flat"].shape[0]
+            np.testing.assert_array_equal(batch["voxel_flat"][i, :n], item["voxel_flat"])
+            np.testing.assert_array_equal(batch["voxel_rgb"][i, :n], item["voxel_rgb"])
             # Real entries strictly increasing, padding = sentinel.
             assert (np.diff(batch["voxel_flat"][i, :n].astype(np.int64)) > 0).all()
             assert (batch["voxel_flat"][i, n:] == VOXEL_PAD_SENTINEL).all()
-            f = item["voxel_feats"].astype(np.uint32)
-            np.testing.assert_array_equal(
-                batch["voxel_rgb"][i, :n], f[:, 0] | (f[:, 1] << 8) | (f[:, 2] << 16)
-            )
+            assert (batch["voxel_rgb"][i, n:] == 0).all()
 
 
 class TestBatchIterator:
@@ -125,8 +125,10 @@ class TestDevicePrep:
         )
         expect = np.zeros((3, D, D, D, 3), np.float32)
         for i, item in enumerate(items):
-            for c, f in zip(item["voxel_coords"], item["voxel_feats"]):
-                expect[i, c[0], c[1], c[2]] = f / 255.0
+            for word, rgb in zip(item["voxel_flat"], item["voxel_rgb"]):
+                x, y, z = word >> 16, (word >> 8) & 0xFF, word & 0xFF
+                expect[i, x, y, z] = [rgb & 0xFF, (rgb >> 8) & 0xFF, (rgb >> 16) & 0xFF]
+        expect /= 255.0
         np.testing.assert_allclose(dense, expect, atol=1e-6)
 
     def test_padding_preserves_origin_site(self):
@@ -212,8 +214,14 @@ class TestGeneralDataset:
         # Sparse conversion round-trips the occupied sites.
         npz = np.load(os.path.join(root, "cat0", f"{rows[0]['model_id']}.npz"))
         coords, feats = dense_rgba_to_sparse(npz["voxel32"])
-        np.testing.assert_array_equal(item["voxel_coords"], coords)
-        np.testing.assert_array_equal(item["voxel_feats"], feats)
+        c = coords.astype(np.uint32)
+        f = feats.astype(np.uint32)
+        np.testing.assert_array_equal(
+            item["voxel_flat"], (c[:, 0] * 256 + c[:, 1]) * 256 + c[:, 2]
+        )
+        np.testing.assert_array_equal(
+            item["voxel_rgb"], f[:, 0] | (f[:, 1] << 8) | (f[:, 2] << 16)
+        )
 
     def test_view_subsample_even(self, tmp_path):
         root = str(tmp_path)

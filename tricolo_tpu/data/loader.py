@@ -36,16 +36,16 @@ def collate(items: list[dict], max_voxel_points: int) -> dict[str, Any]:
     shape that feeds the TPU-tuned sorted-unique set-scatter
     (device_prep.densify_voxels).
     """
-    from .device_prep import pack_sparse_voxels
+    from .device_prep import VOXEL_PAD_SENTINEL
 
     batch_size = len(items)
     n_pad = max_voxel_points
-    flat = np.empty((batch_size, n_pad), dtype=np.uint32)
-    rgb = np.empty((batch_size, n_pad), dtype=np.uint32)
+    flat = np.full((batch_size, n_pad), VOXEL_PAD_SENTINEL, dtype=np.uint32)
+    rgb = np.zeros((batch_size, n_pad), dtype=np.uint32)
     for i, item in enumerate(items):
-        flat[i], rgb[i] = pack_sparse_voxels(
-            item["voxel_coords"], item["voxel_feats"], n_pad
-        )
+        n = min(item["voxel_flat"].shape[0], n_pad)
+        flat[i, :n] = item["voxel_flat"][:n]
+        rgb[i, :n] = item["voxel_rgb"][:n]
 
     batch: dict[str, Any] = {
         "model_id": [item["model_id"] for item in items],

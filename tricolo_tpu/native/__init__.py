@@ -1,0 +1,156 @@
+"""ctypes bindings for the C++ host-side data-loading runtime.
+
+`native/tricolo_native.cpp` fuses the split-load hot path (npz member
+inflate + dense-RGBA→packed-sparse sweep) that the reference performs in
+Python per model (general_dataset.py:38-51). The library is optional: every
+entry point has a numpy fallback (datasets.dense_rgba_to_packed), and
+`ensure_built()` compiles it on demand with the in-image toolchain
+(g++ + zlib; no pip).
+
+ABI is versioned — a stale .so is rebuilt automatically.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_ABI_VERSION = 3
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(os.path.dirname(_HERE))
+_SRC_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_SRC_DIR, "libtricolo_native.so")
+
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _bind(lib: ctypes.CDLL):
+    lib.tricolo_native_abi_version.restype = ctypes.c_int32
+    lib.tricolo_dense_rgba_to_packed.restype = ctypes.c_int64
+    lib.tricolo_dense_rgba_to_packed.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.tricolo_npz_read.restype = ctypes.c_int64
+    lib.tricolo_npz_read.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int32,
+    ]
+    lib.tricolo_load_npz_voxels_packed.restype = ctypes.c_int64
+    lib.tricolo_load_npz_voxels_packed.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+    ]
+    lib.tricolo_gzip_decode.restype = ctypes.c_int64
+    lib.tricolo_gzip_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+    ]
+
+
+def ensure_built(force: bool = False) -> bool:
+    """Compile the library if missing or ABI-stale; returns availability."""
+    global _lib, _tried
+    if _lib is not None and not force:
+        return True
+    needs_build = force or not os.path.exists(_LIB_PATH)
+    if not needs_build:
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            _bind(lib)
+            if lib.tricolo_native_abi_version() == _ABI_VERSION:
+                _lib = lib
+                return True
+            needs_build = True
+        except OSError:
+            needs_build = True
+    try:
+        subprocess.run(
+            ["make", "-C", _SRC_DIR, "-s"], check=True, capture_output=True
+        )
+        lib = ctypes.CDLL(_LIB_PATH)
+        _bind(lib)
+        if lib.tricolo_native_abi_version() != _ABI_VERSION:
+            return False
+        _lib = lib
+        return True
+    except (subprocess.CalledProcessError, OSError, FileNotFoundError):
+        return False
+
+
+def available() -> bool:
+    """Library loadable (building on first call)? Never raises."""
+    global _tried
+    if _lib is not None:
+        return True
+    if _tried:
+        return False
+    _tried = True
+    return ensure_built()
+
+
+def dense_rgba_to_packed(grid: np.ndarray):
+    """(4, D, D, D) uint8 C-order RGBA grid → (flat u32, rgb u32)."""
+    if not available():
+        raise RuntimeError("native library unavailable; use the numpy fallback")
+    grid = np.ascontiguousarray(grid, dtype=np.uint8)
+    d = grid.shape[1]
+    cap = d * d * d
+    flat = np.empty(cap, np.uint32)
+    rgb = np.empty(cap, np.uint32)
+    count = _lib.tricolo_dense_rgba_to_packed(
+        grid.ctypes.data, d, flat.ctypes.data, rgb.ctypes.data, cap
+    )
+    return flat[:count].copy(), rgb[:count].copy()
+
+
+def load_npz_voxels_packed(path: str, member: str, n_cap: int | None = None):
+    """Fused npz→packed loader; returns (flat u32, rgb u32)."""
+    if not available():
+        raise RuntimeError("native library unavailable; use the numpy fallback")
+    err = ctypes.create_string_buffer(256)
+    if n_cap is None:
+        n_cap = 256**3  # upper bound; grids are ≤128³
+    flat = np.empty(n_cap, np.uint32)
+    rgb = np.empty(n_cap, np.uint32)
+    d_out = ctypes.c_int64()
+    count = _lib.tricolo_load_npz_voxels_packed(
+        path.encode(), member.encode(), flat.ctypes.data, rgb.ctypes.data,
+        n_cap, ctypes.byref(d_out), err, len(err),
+    )
+    if count < 0:
+        raise ValueError(f"{path}[{member}]: {err.value.decode()}")
+    if count > n_cap:
+        raise ValueError(f"{path}[{member}]: {count} sites exceed cap {n_cap}")
+    return flat[:count].copy(), rgb[:count].copy()
+
+
+def npz_read(path: str, member: str) -> bytes:
+    """Raw npz member bytes (the .npy payload), natively decompressed."""
+    if not available():
+        raise RuntimeError("native library unavailable")
+    err = ctypes.create_string_buffer(256)
+    size = _lib.tricolo_npz_read(path.encode(), member.encode(), None, 0, err, len(err))
+    if size < 0:
+        raise ValueError(f"{path}[{member}]: {err.value.decode()}")
+    out = np.empty(size, np.uint8)
+    got = _lib.tricolo_npz_read(
+        path.encode(), member.encode(), out.ctypes.data, size, err, len(err)
+    )
+    if got < 0:
+        raise ValueError(f"{path}[{member}]: {err.value.decode()}")
+    return out.tobytes()
+
+
+def gzip_decode(data: bytes, expected_size: int) -> bytes:
+    """Native gzip decode (NRRD payloads)."""
+    if not available():
+        raise RuntimeError("native library unavailable")
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(expected_size, np.uint8)
+    got = _lib.tricolo_gzip_decode(src.ctypes.data, len(data), out.ctypes.data, expected_size)
+    if got < 0:
+        raise ValueError("gzip stream corrupt or buffer too small")
+    return out[:got].tobytes()
