@@ -172,3 +172,46 @@ class TestArtifacts:
             assert len(row["retrieved_models"]) == 5
             assert len(row["distance"]) == 5
             assert row["cat_id"] == "cat"
+
+
+class TestDeviceEval:
+    """On-device eval must match the NumPy oracle pipeline exactly."""
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_numpy_pipeline(self, seed):
+        from tricolo_tpu.evaluation.device import compute_metrics_on_device
+
+        rng = np.random.default_rng(seed)
+        d = make_embeddings_dict(rng, n_models=13, captions_per_model=3, dim=24)
+        expect = compute_metrics(d, nearest_path=None)
+        got, top_k, top_sims = compute_metrics_on_device(d)
+        np.testing.assert_allclose(got.precision, expect.precision, rtol=1e-5)
+        np.testing.assert_allclose(got.recall, expect.recall, rtol=1e-5)
+        np.testing.assert_allclose(got.recall_rate, expect.recall_rate, rtol=1e-5)
+        np.testing.assert_allclose(got.ndcg, expect.ndcg, rtol=1e-5)
+        assert got.mrr == pytest.approx(expect.mrr, rel=1e-5)
+
+        # Rankings identical too (same tie-break semantics).
+        text, shape, labels, fit_labels, _ = construct_embeddings_matrix(d)
+        _, idx, _ = compute_nearest_neighbors(shape, text, 5)
+        np.testing.assert_array_equal(top_k, idx)
+
+    def test_tie_breaking_matches(self):
+        from tricolo_tpu.evaluation.device import compute_metrics_on_device
+
+        # Duplicate shape embeddings force similarity ties; tie order must
+        # match the reference (higher fit index first).
+        dim = 8
+        base = np.eye(dim)[0]
+        tuples = [
+            (f"c{i}", "cat", f"m{i}", base + 1e-3 * np.eye(dim)[i], base.copy())
+            for i in range(6)
+        ]
+        expect = compute_metrics({"caption_embedding_tuples": tuples}, nearest_path=None)
+        got, top_k, _ = compute_metrics_on_device({"caption_embedding_tuples": tuples})
+        text, shape, labels, fit_labels, _ = construct_embeddings_matrix(
+            {"caption_embedding_tuples": tuples}
+        )
+        _, idx, _ = compute_nearest_neighbors(shape, text, 5)
+        np.testing.assert_array_equal(top_k, idx)
+        assert got.mrr == pytest.approx(expect.mrr, rel=1e-6)

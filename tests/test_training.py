@@ -169,3 +169,86 @@ class TestCheckpoint:
         cfg3 = bi_v_cfg()
         pruned3 = prune_disabled_encoders(params, cfg3)
         assert set(pruned3) == {"text_encoder", "voxel_encoder"}
+
+
+class TestTrainerEndToEnd:
+    """Full fit/test cycles on tiny synthetic configs (CPU mesh)."""
+
+    def _fit_cfg(self, tmp_path, extra=()):
+        cfg = load_config(
+            [
+                "data=synthetic",
+                "trainer.max_epochs=2",
+                "trainer.check_val_every_n_epoch=1",
+                "trainer.log_every_n_steps=1",
+                "trainer.profiler=none",
+                f"project_root_path={tmp_path}",
+                "experiment_name=t",
+                *extra,
+            ]
+        )
+        return cfg
+
+    def test_clip_variant_fit_resume_and_test(self, tmp_path):
+        """CLIP-head model (cheap MLPs): fit → resume → test artifacts.
+
+        Covers dropout rngs, models without batch_stats, checkpoint resume
+        (reference ckpt_name path, train.py:40-45) and the test pipeline."""
+        from tricolo_tpu.data import DataModule
+        from tricolo_tpu.training.trainer import Trainer
+
+        cfg = self._fit_cfg(
+            tmp_path,
+            (
+                "model.text_encoder=CLIPTextEncoder",
+                "model.image_encoder=CLIPImageEncoder",
+            ),
+        )
+        trainer = Trainer(cfg)
+        state, manager = trainer.fit(DataModule(cfg))
+        assert manager.best_path and os.path.exists(manager.best_path)
+        metrics_file = os.path.join(cfg.logger.save_dir, "metrics.jsonl")
+        assert os.path.getsize(metrics_file) > 0
+
+        # Resume for one more epoch from the last checkpoint.
+        cfg2 = self._fit_cfg(
+            tmp_path,
+            (
+                "model.text_encoder=CLIPTextEncoder",
+                "model.image_encoder=CLIPImageEncoder",
+                "trainer.max_epochs=3",
+            ),
+        )
+        trainer2 = Trainer(cfg2)
+        state2, manager2 = trainer2.fit(DataModule(cfg2), resume_ckpt=manager.best_path)
+        assert int(np.asarray(state2.step)) > int(np.asarray(state.step))
+
+        # Test path: prints metrics, saves output.p.
+        import json as _json
+
+        dm = DataModule(cfg2)
+        result = trainer2.test(dm, manager2.best_path or manager.best_path)
+        assert result is not None
+        out_p = os.path.join(cfg2.inference.output_dir, "output.p")
+        assert os.path.exists(out_p)
+
+    def test_device_eval_flag_matches_numpy(self, tmp_path):
+        from tricolo_tpu.data import DataModule
+        from tricolo_tpu.training.trainer import Trainer
+
+        cfg = self._fit_cfg(
+            tmp_path,
+            ("model.text_encoder=CLIPTextEncoder", "model.image_encoder=CLIPImageEncoder"),
+        )
+        trainer = Trainer(cfg)
+        dm = DataModule(cfg)
+        dm.setup("fit")
+        state = trainer.init_state(next(iter(dm.train_loader())))
+        emb, _ = trainer.collect_embeddings(state, dm.val_loader())
+        numpy_metrics = trainer._run_retrieval_eval(emb, nearest_path=None)
+        cfg.inference.device_eval = True
+        device_metrics = trainer._run_retrieval_eval(emb, nearest_path=None)
+        assert device_metrics.mrr == pytest.approx(numpy_metrics.mrr, rel=1e-5)
+        np.testing.assert_allclose(
+            device_metrics.recall_rate, numpy_metrics.recall_rate, rtol=1e-6
+        )

@@ -125,6 +125,9 @@ def default_config() -> ConfigNode:
                 "save_predictions": True,
                 "evaluate": True,
                 "output_dir": "${experiment_output_path}/inference/${inference.split}/predictions",
+                # TPU-native addition: run similarity/ranking/metrics under
+                # jit instead of the NumPy pipeline (oracle-tested equal).
+                "device_eval": False,
             },
             # --- TPU-native additions -------------------------------------
             "parallel": {

@@ -135,6 +135,9 @@ class GeneralDataset:
         self.max_tokens = cfg.data.get("max_tokens", 96)
         self.use_clip_text = cfg.model.text_encoder == "CLIPTextEncoder"
         self.use_clip_image = cfg.model.image_encoder == "CLIPImageEncoder"
+        # CLIP-tokenize captions on the fly when the CLIP text encoder is
+        # configured (general_dataset.py:76-79).
+        self.tokenize_with_clip = self.use_clip_text
 
         map_path = cfg.data.get(f"{split}_lang_data_path")
         with open(map_path) as f:
@@ -215,7 +218,9 @@ class GeneralDataset:
         item = {
             "model_id": lang["model_id"],
             "category": lang["category"],
-            "tokens": self._clip_tokenize(lang["text"]) if self.use_clip_text else lang["tokens"],
+            "tokens": self._clip_tokenize(lang["text"])
+            if self.tokenize_with_clip
+            else lang["tokens"],
             "images": vision["images"],
             "voxel_flat": vision["flat"],
             "voxel_rgb": vision["rgb"],
@@ -256,6 +261,9 @@ class SyntheticDataset:
 
         self.use_clip_text = cfg.model.text_encoder == "CLIPTextEncoder"
         self.use_clip_image = cfg.model.image_encoder == "CLIPImageEncoder"
+        # Synthetic captions carry plain int tokens; no BPE file needed (the
+        # CLIP heads consume precached embeddings, never the tokens).
+        self.tokenize_with_clip = False
 
         self.language_data = []
         self.vision_data = {}

@@ -13,10 +13,12 @@ from .retrieval import (
     construct_embeddings_matrix,
     write_nearest_info,
 )
+from .device import compute_metrics_on_device
 
 __all__ = [
     "RetrievalMetrics",
     "compute_metrics",
+    "compute_metrics_on_device",
     "compute_nearest_neighbors",
     "compute_pr_at_k",
     "construct_embeddings_matrix",

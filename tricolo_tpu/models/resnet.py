@@ -45,7 +45,7 @@ class BasicBlock(nn.Module):
         )
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, param_dtype=self.param_dtype, name=name,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name,
         )
         residual = x
         y = conv(self.features, 3, self.strides, "conv1")(x)
@@ -75,7 +75,7 @@ class Bottleneck(nn.Module):
         )
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, param_dtype=self.param_dtype, name=name,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name,
         )
         residual = x
         y = nn.relu(norm("bn1")(conv(self.features, 1, 1, "conv1")(x)))
@@ -116,7 +116,7 @@ class ResNet(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, param_dtype=self.param_dtype, name="bn1",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
         )(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

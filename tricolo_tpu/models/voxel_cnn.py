@@ -56,11 +56,14 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
+        # BN in the compute dtype: normalizing the (B, 64³, C) block in f32
+        # costs ~20 ms/step extra HBM traffic on v5e (measured); statistics
+        # still accumulate in f32 inside flax's _compute_stats.
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,  # torch BatchNorm default momentum=0.1
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
         x = nn.relu(x)

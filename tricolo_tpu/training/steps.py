@@ -57,7 +57,10 @@ def make_train_step(model, tx, cfg, pair_loss: Callable | None = None):
             rngs={"dropout": rng},
         )
         loss_dict = pairwise_losses(loss_pair, output, "train_loss")
-        return loss_dict["train_loss/total_loss"], (loss_dict, mutated["batch_stats"])
+        # Models without BatchNorm (CLIP-head variants) have no batch_stats
+        # collection to mutate.
+        new_stats = mutated.get("batch_stats", {})
+        return loss_dict["train_loss/total_loss"], (loss_dict, new_stats)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, lr, rng):

@@ -24,7 +24,8 @@ import numpy as np
 from ..data.loader import DataModule
 from ..models.tricolo_net import TriCoLoNet
 from ..parallel import make_mesh, replicated_sharding, shard_batch
-from ..evaluation import compute_metrics
+from ..evaluation import compute_metrics, compute_metrics_on_device, write_nearest_info
+from ..evaluation.retrieval import construct_embeddings_matrix
 from .checkpoint import CheckpointManager, load_checkpoint, prune_disabled_encoders, save_checkpoint
 from .logger import MetricsLogger
 from .optim import lr_for_epoch, make_optimizer
@@ -122,6 +123,29 @@ class Trainer:
         val_every = cfg.trainer.check_val_every_n_epoch
         global_step = int(np.asarray(state.step))
 
+        from ..utils import profile_trace
+
+        with profile_trace(
+            cfg.trainer.profiler == "xplane",
+            os.path.join(logger.save_dir, "xplane"),
+        ):
+            state = self._fit_epochs(
+                state, cfg, train_loader, val_loader, logger, manager,
+                start_epoch, dropout_rng, log_every, val_every, global_step,
+            )
+
+        if cfg.trainer.profiler == "simple":
+            total = sum(self._timers.values()) or 1.0
+            print("\nProfiler (simple) — wall clock by phase:")
+            for phase, seconds in sorted(self._timers.items(), key=lambda kv: -kv[1]):
+                print(f"  {phase:<12} {seconds:8.2f}s  {100 * seconds / total:5.1f}%")
+        logger.close()
+        return state, manager
+
+    def _fit_epochs(
+        self, state, cfg, train_loader, val_loader, logger, manager,
+        start_epoch, dropout_rng, log_every, val_every, global_step,
+    ):
         for epoch in range(start_epoch, cfg.trainer.max_epochs):
             lr = lr_for_epoch(cfg, epoch)
             train_loader.set_epoch(epoch)
@@ -141,7 +165,7 @@ class Trainer:
                 embeddings_dict, val_losses = self.collect_embeddings(
                     state, val_loader, with_loss=True
                 )
-                metrics = compute_metrics(
+                metrics = self._run_retrieval_eval(
                     embeddings_dict,
                     nearest_path=os.path.join(logger.save_dir, "nearest.jsonl"),
                 )
@@ -157,13 +181,7 @@ class Trainer:
                 manager.save(state, epoch, summary)
                 self._timers["checkpoint"] += time.perf_counter() - tic
 
-        if cfg.trainer.profiler == "simple":
-            total = sum(self._timers.values()) or 1.0
-            print("\nProfiler (simple) — wall clock by phase:")
-            for phase, seconds in sorted(self._timers.items(), key=lambda kv: -kv[1]):
-                print(f"  {phase:<12} {seconds:8.2f}s  {100 * seconds / total:5.1f}%")
-        logger.close()
-        return state, manager
+        return state
 
     # -- evaluation -------------------------------------------------------
 
@@ -191,6 +209,28 @@ class Trainer:
         losses = {k: v / max(n_batches, 1) for k, v in loss_totals.items()}
         return {"caption_embedding_tuples": tuples}, losses
 
+    def _run_retrieval_eval(
+        self, embeddings_dict, nearest_path: str | None, print_results: bool = False
+    ):
+        """Dispatch to the NumPy oracle pipeline or the jit device twin."""
+        if not self.cfg.inference.get("device_eval", False):
+            return compute_metrics(
+                embeddings_dict, nearest_path=nearest_path, print_results=print_results
+            )
+        metrics, top_k, top_sims = compute_metrics_on_device(embeddings_dict)
+        if nearest_path:
+            _, _, _, _, label_to_model_id = construct_embeddings_matrix(embeddings_dict)
+            write_nearest_info(
+                embeddings_dict["caption_embedding_tuples"],
+                top_k,
+                top_sims,
+                label_to_model_id,
+                path=nearest_path,
+            )
+        if print_results:
+            metrics.print_results()
+        return metrics
+
     def test(self, data_module: DataModule, ckpt_path: str):
         """Reference test path: load → embed split → metrics → artifacts."""
         cfg = self.cfg
@@ -204,7 +244,9 @@ class Trainer:
         if cfg.inference.evaluate:
             # nearest.jsonl lands in CWD exactly as upstream does
             # (eval_retrieval.py:292).
-            metrics = compute_metrics(embeddings_dict, print_results=True)
+            metrics = self._run_retrieval_eval(
+                embeddings_dict, nearest_path="nearest.jsonl", print_results=True
+            )
         if cfg.inference.save_predictions:
             os.makedirs(cfg.inference.output_dir, exist_ok=True)
             out_path = os.path.join(cfg.inference.output_dir, "output.p")
