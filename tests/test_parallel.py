@@ -95,3 +95,55 @@ class TestGlobalNTXent:
         auto = float(jax.jit(lambda x, y: nt_xent_loss(x, y, 0.1, 0.25))(a, b))
         explicit = float(jax.jit(make_global_nt_xent(mesh, 0.1, 0.25))(a, b))
         assert auto == pytest.approx(explicit, rel=1e-5)
+
+
+class TestExplicitCollectivesTrainStep:
+    def test_matches_automatic_path(self, mesh):
+        """One train step with the shard_map loss == the pjit-automatic loss
+        (the Trainer's use_explicit_collectives flag)."""
+        import jax.numpy as jnp
+
+        from tricolo_tpu.config import load_config
+        from tricolo_tpu.data import DataModule
+        from tricolo_tpu.data.device_prep import prepare_device_batch
+        from tricolo_tpu.models.tricolo_net import TriCoLoNet
+        from tricolo_tpu.parallel.collectives import make_global_nt_xent
+        from tricolo_tpu.training import TrainState, make_optimizer, make_train_step
+
+        cfg = load_config(["data=synthetic"])
+        cfg.model.voxel_encoder = "VoxelCNNEncoder"
+        cfg.precision.compute_dtype = "float32"
+        dm = DataModule(cfg)
+        dm.setup("fit")
+        batch = next(iter(dm.train_loader()))
+
+        model = TriCoLoNet.from_config(cfg)
+        tx = make_optimizer(cfg)
+        dev = prepare_device_batch(
+            {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)},
+            cfg.data.voxel_size,
+        )
+        variables = model.init(jax.random.key(0), dev)
+
+        results = {}
+        for name, pair_loss in (
+            ("auto", None),
+            ("explicit", make_global_nt_xent(mesh, 0.1, 0.25)),
+        ):
+            # Deep-copy: the train step donates its state, and both loop
+            # iterations must start from identical live buffers.
+            fresh = jax.tree.map(jnp.copy, variables)
+            state = jax.device_put(
+                TrainState.create(fresh, tx), replicated_sharding(mesh)
+            )
+            step = make_train_step(model, tx, cfg, pair_loss)
+            sharded = shard_batch(batch, mesh)
+            new_state, losses = step(state, sharded, 3.5e-4, jax.random.PRNGKey(0))
+            results[name] = (
+                float(losses["train_loss/total_loss"]),
+                np.asarray(jax.tree.leaves(new_state.params)[0]),
+            )
+        assert results["auto"][0] == pytest.approx(results["explicit"][0], rel=1e-5)
+        np.testing.assert_allclose(
+            results["auto"][1], results["explicit"][1], rtol=1e-4, atol=1e-6
+        )

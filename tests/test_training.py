@@ -252,3 +252,71 @@ class TestTrainerEndToEnd:
         np.testing.assert_allclose(
             device_metrics.recall_rate, numpy_metrics.recall_rate, rtol=1e-6
         )
+
+
+class TestPretrainedGraft:
+    def test_backbone_weights_grafted_into_state(self, tmp_path):
+        """Converted torchvision weights must land in the init state
+        (reference pretrained=True path, mv_cnn.py:44-45)."""
+        torch = pytest.importorskip("torch")
+        from tricolo_tpu.data import DataModule
+        from tricolo_tpu.models.resnet import (
+            ResNet,
+            convert_torchvision_state_dict,
+            save_pretrained,
+        )
+        from tricolo_tpu.training.trainer import Trainer
+
+        # Build a random torch-layout state_dict via our flax ResNet shapes:
+        # simplest is to init the flax model, convert a synthetic torch
+        # state_dict, and check the values arrive bit-exact.
+        rng = np.random.default_rng(0)
+        sd = {}
+        def conv_entry(name, shape_oihw):
+            sd[f"{name}.weight"] = rng.standard_normal(shape_oihw).astype(np.float32)
+        def bn_entry(name, c):
+            sd[f"{name}.weight"] = rng.standard_normal(c).astype(np.float32)
+            sd[f"{name}.bias"] = rng.standard_normal(c).astype(np.float32)
+            sd[f"{name}.running_mean"] = rng.standard_normal(c).astype(np.float32)
+            sd[f"{name}.running_var"] = rng.random(c).astype(np.float32) + 0.5
+        conv_entry("conv1", (64, 3, 7, 7)); bn_entry("bn1", 64)
+        sizes = [(64, 2), (128, 2), (256, 2), (512, 2)]
+        in_c = 64
+        for stage, (c, blocks) in enumerate(sizes):
+            for blk in range(blocks):
+                pre = f"layer{stage+1}.{blk}"
+                first_in = in_c if blk == 0 else c
+                conv_entry(f"{pre}.conv1.weight"[:-7], (c, first_in, 3, 3))
+                bn_entry(f"{pre}.bn1", c)
+                conv_entry(f"{pre}.conv2.weight"[:-7], (c, c, 3, 3))
+                bn_entry(f"{pre}.bn2", c)
+                if blk == 0 and stage > 0:
+                    conv_entry(f"{pre}.downsample.0.weight"[:-7], (c, in_c, 1, 1))
+                    bn_entry(f"{pre}.downsample.1", c)
+            in_c = c
+        params, stats = convert_torchvision_state_dict(sd, "resnet18")
+        path = str(tmp_path / "rn18.npz")
+        save_pretrained(path, params, stats)
+
+        cfg = load_config(
+            [
+                "data=synthetic",
+                "model.image_encoder=MVCNNEncoder",
+                f"model.modules.MVCNNEncoder.pretrained_path={path}",
+                f"project_root_path={tmp_path}",
+                "experiment_name=t",
+            ]
+        )
+        trainer = Trainer(cfg)
+        dm = DataModule(cfg)
+        dm.setup("fit")
+        state = trainer.init_state(next(iter(dm.train_loader())))
+        got = np.asarray(
+            state.params["image_encoder"]["backbone"]["conv1"]["kernel"]
+        )
+        expect = sd["conv1.weight"].transpose(2, 3, 1, 0)
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
+        got_stat = np.asarray(
+            state.batch_stats["image_encoder"]["backbone"]["bn1"]["mean"]
+        )
+        np.testing.assert_allclose(got_stat, sd["bn1.running_mean"], rtol=1e-6)

@@ -56,7 +56,13 @@ class Trainer:
     # -- state ------------------------------------------------------------
 
     def init_state(self, sample_batch: dict) -> TrainState:
-        """Initialize parameters from a sample batch's shapes."""
+        """Initialize parameters from a sample batch's shapes.
+
+        When ``model.modules.MVCNNEncoder.pretrained_path`` is set, the
+        converted torchvision backbone weights (models/resnet.py
+        save_pretrained format) are grafted over the random init —
+        ImageNet pretraining matters for the reference's retrieval parity
+        (reference mv_cnn.py:44-45 loads pretrained=True)."""
         from ..data.device_prep import prepare_device_batch
 
         device_batch = prepare_device_batch(
@@ -67,8 +73,42 @@ class Trainer:
         variables = jax.jit(self.model.init, static_argnames=("train",))(
             init_rng, device_batch, train=False
         )
+        variables = self._graft_pretrained_backbone(variables)
         state = TrainState.create(variables, self.tx)
         return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def _graft_pretrained_backbone(self, variables: dict) -> dict:
+        pretrained = self.cfg.model.modules.MVCNNEncoder.get("pretrained_path")
+        if not pretrained or self.cfg.model.image_encoder != "MVCNNEncoder":
+            return variables
+        from flax.core import unfreeze
+
+        from ..models.resnet import load_pretrained
+
+        params, stats = load_pretrained(pretrained)
+        variables = jax.tree_util.tree_map(lambda x: x, unfreeze(dict(variables)))
+        target_params = variables["params"]["image_encoder"]["backbone"]
+        target_stats = variables.get("batch_stats", {}).get("image_encoder", {}).get(
+            "backbone", {}
+        )
+
+        def graft(dst: dict, src: dict, where: str):
+            for key, value in src.items():
+                if key not in dst:
+                    raise KeyError(f"pretrained {where} key {key!r} not in model")
+                if isinstance(value, dict):
+                    graft(dst[key], value, f"{where}/{key}")
+                else:
+                    if dst[key].shape != value.shape:
+                        raise ValueError(
+                            f"pretrained {where}/{key} shape {value.shape} != "
+                            f"model {dst[key].shape}"
+                        )
+                    dst[key] = value.astype(dst[key].dtype)
+
+        graft(target_params, params, "params")
+        graft(target_stats, stats, "batch_stats")
+        return variables
 
     def load_state(self, ckpt_path: str, for_inference: bool = False):
         """Restore state (and epoch) from a checkpoint file."""
