@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .common import MLPHead, TorchLinear, fold_views, l2_normalize
-from .resnet import ResNet, feature_dim
+from .efficientnet import EfficientNet
+from .resnet import ResNet
 
 
 class MVCNNEncoder(nn.Module):
@@ -39,9 +40,19 @@ class MVCNNEncoder(nn.Module):
     def __call__(self, images: jax.Array, *, train: bool = False, deterministic: bool = True) -> jax.Array:
         batch, views = images.shape[:2]
         x = fold_views(images)  # (B·V, H, W, 3)
-        features = ResNet(
-            cnn_name=self.cnn_name, dtype=self.dtype, param_dtype=self.param_dtype, name="backbone"
-        )(x, train=train)
+        # Backbone dispatch mirrors the reference's SVCNN cnn_name switch
+        # (mv_cnn.py:44-60: resnet18/34/50 or efficientnet_b0/b3).
+        if self.cnn_name.startswith("efficientnet"):
+            backbone = EfficientNet(
+                cnn_name=self.cnn_name, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="backbone",
+            )
+        else:
+            backbone = ResNet(
+                cnn_name=self.cnn_name, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="backbone",
+            )
+        features = backbone(x, train=train)
         features = features.reshape(batch, views, -1)
         pooled = jnp.max(features, axis=1)  # element-wise max over views
         z = TorchLinear(self.z_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="fc")(pooled)
