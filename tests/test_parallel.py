@@ -147,3 +147,61 @@ class TestExplicitCollectivesTrainStep:
         np.testing.assert_allclose(
             results["auto"][1], results["explicit"][1], rtol=1e-4, atol=1e-6
         )
+
+
+class TestFsdpSharding:
+    def test_rules_shard_large_params_only(self, mesh):
+        from tricolo_tpu.parallel.sharding_rules import param_shardings
+
+        params = {
+            "big": jnp.zeros((1024, 256)),
+            "small": jnp.zeros((16, 16)),
+            "odd": jnp.zeros((1025, 129)),  # no mesh-divisible axis
+        }
+        shardings = param_shardings(params, mesh, "fsdp", min_size=2**12)
+        assert shardings["big"].spec == jax.sharding.PartitionSpec("data", None)
+        assert shardings["small"].spec == jax.sharding.PartitionSpec()
+        assert shardings["odd"].spec == jax.sharding.PartitionSpec()
+
+    def test_fsdp_train_step_matches_replicated(self, mesh):
+        """ZeRO-style param sharding must not change the math — XLA inserts
+        the gathers/reduce-scatters."""
+        import jax.numpy as jnp
+
+        from tricolo_tpu.config import load_config
+        from tricolo_tpu.data import DataModule
+        from tricolo_tpu.data.device_prep import prepare_device_batch
+        from tricolo_tpu.models.tricolo_net import TriCoLoNet
+        from tricolo_tpu.parallel.sharding_rules import shard_state
+        from tricolo_tpu.training import TrainState, make_optimizer, make_train_step
+
+        cfg = load_config(["data=synthetic", "model.voxel_encoder=VoxelCNNEncoder"])
+        cfg.precision.compute_dtype = "float32"
+        dm = DataModule(cfg)
+        dm.setup("fit")
+        batch = next(iter(dm.train_loader()))
+        model = TriCoLoNet.from_config(cfg)
+        tx = make_optimizer(cfg)
+        dev = prepare_device_batch(
+            {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)},
+            cfg.data.voxel_size,
+        )
+        variables = model.init(jax.random.key(0), dev)
+
+        results = {}
+        for mode in ("replicated", "fsdp"):
+            fresh = jax.tree.map(jnp.copy, variables)
+            state = shard_state(
+                TrainState.create(fresh, tx), mesh, mode, min_size=2**10
+            )
+            step = make_train_step(model, tx, cfg)
+            sharded = shard_batch(batch, mesh)
+            new_state, losses = step(state, sharded, 3.5e-4, jax.random.PRNGKey(0))
+            results[mode] = (
+                float(losses["train_loss/total_loss"]),
+                np.asarray(jax.device_get(jax.tree.leaves(new_state.params)[0])),
+            )
+        assert results["replicated"][0] == pytest.approx(results["fsdp"][0], rel=1e-5)
+        np.testing.assert_allclose(
+            results["replicated"][1], results["fsdp"][1], rtol=1e-4, atol=1e-6
+        )

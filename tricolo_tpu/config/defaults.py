@@ -137,6 +137,10 @@ def default_config() -> ConfigNode:
                 # loss so negatives span the global batch. At global batch ==
                 # reference batch this is numerically the reference loss.
                 "global_negatives": True,
+                # Parameter placement: "replicated" (parity default) or
+                # "fsdp" (ZeRO-style sharding of large params over the data
+                # axis; numerically identical, tested).
+                "param_sharding": "replicated",
             },
             "precision": {
                 # bfloat16 activations through convs/matmuls, float32 params,

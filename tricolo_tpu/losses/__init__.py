@@ -41,6 +41,11 @@ def make_loss_fn(cfg) -> Callable[[jax.Array, jax.Array], jax.Array]:
 
 def pairwise_losses(loss_fn, output: dict, prefix: str) -> dict:
     """Sum the loss over all pairs of present modality features."""
+    if len(output) < 2:
+        raise ValueError(
+            "contrastive training needs at least two modalities; configure an "
+            "image and/or voxel encoder alongside the text encoder"
+        )
     loss_dict = {}
     for key_a, key_b in combinations(output.keys(), 2):
         # "text_features" → "text" (reference strips the 9-char suffix).

@@ -14,6 +14,7 @@ from .mesh import (
     shard_batch,
 )
 from .collectives import make_global_nt_xent
+from .sharding_rules import param_shardings, shard_state
 
 __all__ = [
     "make_mesh",
@@ -21,4 +22,6 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "make_global_nt_xent",
+    "param_shardings",
+    "shard_state",
 ]

@@ -75,7 +75,14 @@ class Trainer:
         )
         variables = self._graft_pretrained_backbone(variables)
         state = TrainState.create(variables, self.tx)
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        return self._place_state(state)
+
+    def _place_state(self, state):
+        from ..parallel import shard_state
+
+        return shard_state(
+            state, self.mesh, self.cfg.parallel.get("param_sharding", "replicated")
+        )
 
     def _graft_pretrained_backbone(self, variables: dict) -> dict:
         pretrained = self.cfg.model.modules.MVCNNEncoder.get("pretrained_path")
@@ -129,7 +136,7 @@ class Trainer:
 
             opt_state = serialization.from_state_dict(template, raw["opt_state"])
             state = state.replace(opt_state=opt_state)
-        state = jax.device_put(state, replicated_sharding(self.mesh))
+        state = self._place_state(state)
         return state, int(raw["epoch"])
 
     # -- fit --------------------------------------------------------------
