@@ -164,6 +164,11 @@ def data_preset(name: str) -> ConfigNode:
             "image_size": 128,
             "voxel_size": 64,
             "num_views": 6,
+            # Padded sparse-voxel budget per sample. null → the split's max
+            # occupied-site count (exact). An explicit cap bounds the device
+            # scatter cost / batch bytes; samples above it are truncated in
+            # site order (documented divergence from keeping all sites).
+            "voxel_max_points": None,
         }
     )
     if name == "base":
