@@ -141,6 +141,11 @@ def default_config() -> ConfigNode:
                 # "fsdp" (ZeRO-style sharding of large params over the data
                 # axis; numerically identical, tested).
                 "param_sharding": "replicated",
+                # Use the explicit shard_map ring formulation of the
+                # global-negative NT-Xent instead of the pjit-automatic path
+                # (equivalent, tested; scales to very large global batches
+                # by keeping each chip's logit rows local).
+                "explicit_collectives": False,
             },
             "precision": {
                 # bfloat16 activations through convs/matmuls, float32 params,

@@ -10,7 +10,7 @@ instead of relying on flax defaults.
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

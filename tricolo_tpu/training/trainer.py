@@ -23,10 +23,10 @@ import numpy as np
 
 from ..data.loader import DataModule
 from ..models.tricolo_net import TriCoLoNet
-from ..parallel import make_mesh, replicated_sharding, shard_batch
+from ..parallel import make_mesh, shard_batch
 from ..evaluation import compute_metrics, compute_metrics_on_device, write_nearest_info
 from ..evaluation.retrieval import construct_embeddings_matrix
-from .checkpoint import CheckpointManager, load_checkpoint, prune_disabled_encoders, save_checkpoint
+from .checkpoint import CheckpointManager, load_checkpoint, prune_disabled_encoders
 from .logger import MetricsLogger
 from .optim import lr_for_epoch, make_optimizer
 from .state import TrainState
@@ -34,12 +34,14 @@ from .steps import make_eval_step, make_train_step, shape_embedding_sum
 
 
 class Trainer:
-    def __init__(self, cfg, use_explicit_collectives: bool = False):
+    def __init__(self, cfg, use_explicit_collectives: bool | None = None):
         self.cfg = cfg
         self.mesh = make_mesh(cfg.parallel.data_parallel)
         self.model = TriCoLoNet.from_config(cfg)
         self.tx = make_optimizer(cfg)
 
+        if use_explicit_collectives is None:
+            use_explicit_collectives = cfg.parallel.get("explicit_collectives", False)
         pair_loss = None
         if use_explicit_collectives and cfg.loss.name == "NTXentLoss":
             from ..parallel.collectives import make_global_nt_xent
