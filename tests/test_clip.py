@@ -141,3 +141,15 @@ class TestExtraction:
         item = dataset[0]
         assert "clip_embeddings_img" in item
         assert item["clip_embeddings_img"].shape == (768,)
+
+
+class TestUnicodeTokenization:
+    def test_non_ascii_letters_group_as_words(self, tmp_path):
+        bpe = str(tmp_path / "bpe.txt.gz")
+        write_tiny_bpe(bpe)
+        tok = ClipTokenizer(bpe)
+        # 'café' must tokenize as one letter-word (byte-level pieces of the
+        # whole word), not split é into the punctuation bucket.
+        words = [m for m in __import__("tricolo_tpu.clip.tokenizer", fromlist=["_WORD_RE"])._WORD_RE.findall("a café-style chair")]
+        assert "café" in words
+        assert "-" in words

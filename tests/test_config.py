@@ -73,3 +73,19 @@ def test_unknown_key_rejected_without_plus():
 def test_unknown_preset_rejected():
     with pytest.raises(KeyError):
         load_config(["data=bogus"])
+
+
+class TestNoneInterpolation:
+    def test_unset_keys_stay_unresolved_until_set(self):
+        """A None-valued key must not bake 'None' into paths; setting it
+        later and re-resolving completes the interpolation."""
+        from tricolo_tpu.config import load_config, resolve_interpolations
+
+        cfg = load_config(["data=synthetic"])
+        assert cfg.experiment_name is None
+        assert "${experiment_name}" in cfg.experiment_output_path
+        assert "None" not in cfg.experiment_output_path
+        cfg.experiment_name = "exp1"
+        resolve_interpolations(cfg)
+        assert cfg.experiment_output_path.endswith("/output/Synthetic/exp1")
+        assert cfg.logger.save_dir.endswith("/output/Synthetic/exp1/training")

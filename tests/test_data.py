@@ -250,3 +250,11 @@ class TestDataModule:
         assert not val.shuffle and not val.drop_last
         batch = next(iter(train))
         assert batch["tokens"].shape[0] == synth_cfg.data.batch_size
+
+
+class TestVoxelBudget:
+    def test_cap_never_exceeds_data_max(self):
+        cfg = load_config(["data=synthetic", "data.voxel_max_points=999999"])
+        capped = build_dataset(cfg, "train")
+        auto = build_dataset(load_config(["data=synthetic"]), "train")
+        assert capped.max_voxel_points == auto.max_voxel_points

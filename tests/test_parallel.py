@@ -205,3 +205,24 @@ class TestFsdpSharding:
         np.testing.assert_allclose(
             results["replicated"][1], results["fsdp"][1], rtol=1e-4, atol=1e-6
         )
+
+
+class TestLocalNegatives:
+    def test_local_loss_is_mean_of_shard_losses(self, mesh):
+        """parallel.global_negatives=false → per-device in-batch negatives,
+        averaged across the mesh (DDP-port behavior of the reference)."""
+        from tricolo_tpu.parallel import make_local_nt_xent
+
+        rng = np.random.default_rng(0)
+        zis = rng.standard_normal((16, 8)).astype(np.float32)
+        zjs = rng.standard_normal((16, 8)).astype(np.float32)
+        expect = np.mean(
+            [
+                float(nt_xent_loss(jnp.asarray(zis[i : i + 2]), jnp.asarray(zjs[i : i + 2]), 0.1, 0.25))
+                for i in range(0, 16, 2)
+            ]
+        )
+        loss_fn = make_local_nt_xent(mesh, 0.1, 0.25)
+        sharding = batch_sharding(mesh)
+        got = float(jax.jit(loss_fn)(jax.device_put(zis, sharding), jax.device_put(zjs, sharding)))
+        assert got == pytest.approx(expect, rel=1e-5)

@@ -320,3 +320,20 @@ class TestPretrainedGraft:
             state.batch_stats["image_encoder"]["backbone"]["bn1"]["mean"]
         )
         np.testing.assert_allclose(got_stat, sd["bn1.running_mean"], rtol=1e-6)
+
+
+class TestCheckpointEdgeCases:
+    def test_save_top_k_zero_disables(self, tiny_setup, tmp_path):
+        cfg, model, tx, mesh, state, batch = tiny_setup
+        mgr = CheckpointManager(str(tmp_path), monitor="m", save_top_k=0)
+        assert mgr.save(state, 0, {"m": 1.0}) is None
+        assert not [f for f in os.listdir(tmp_path) if f.endswith(".ckpt")]
+
+    def test_save_top_k_minus_one_keeps_all_and_best(self, tiny_setup, tmp_path):
+        cfg, model, tx, mesh, state, batch = tiny_setup
+        mgr = CheckpointManager(str(tmp_path), monitor="m", save_top_k=-1)
+        for epoch, score in ((0, 1.0), (1, 5.0), (2, 3.0)):
+            mgr.save(state, epoch, {"m": score})
+        kept = sorted(f for f in os.listdir(tmp_path) if f.endswith(".ckpt"))
+        assert kept == ["epoch=0.ckpt", "epoch=1.ckpt", "epoch=2.ckpt"]
+        assert mgr.best_path.endswith("epoch=1.ckpt")

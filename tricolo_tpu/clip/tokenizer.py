@@ -26,11 +26,14 @@ import numpy as np
 
 CONTEXT_LENGTH = 77
 
+# CLIP's pattern uses \p{L}/\p{N}; stdlib `re` approximates them with
+# Unicode-aware classes: [^\W\d_]+ ≈ \p{L}+, \d ≈ [\p{N}], and the
+# punctuation bucket is everything that is neither whitespace nor
+# word-ish (plus the underscore \w wrongly absorbs).
 _WORD_RE = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False
-    else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-    re.IGNORECASE,
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
+    re.IGNORECASE | re.UNICODE,
 )
 
 

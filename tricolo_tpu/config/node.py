@@ -147,11 +147,15 @@ def resolve_interpolations(cfg: ConfigNode, max_passes: int = 8):
             return value
         full = _INTERP_RE.fullmatch(value)
         if full:
-            return cfg.get_path(full.group(1), default=value)
+            target = cfg.get_path(full.group(1), default=value)
+            # Leave the placeholder intact while the target is unset (None)
+            # so a later set + re-resolve still works (e.g. entry points
+            # defaulting experiment_name after load).
+            return value if target is None else target
 
         def sub(match: re.Match) -> str:
             target = cfg.get_path(match.group(1), default=match.group(0))
-            return str(target)
+            return match.group(0) if target is None else str(target)
 
         return _INTERP_RE.sub(sub, value)
 

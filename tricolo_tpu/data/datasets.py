@@ -164,13 +164,13 @@ class GeneralDataset:
             if key not in self.vision_data:
                 self.vision_data[key] = self._load_model(key, clip_cache)
 
+        data_max = max(
+            (v["flat"].shape[0] for v in self.vision_data.values()), default=1
+        )
         cap = cfg.data.get("voxel_max_points")
         self.max_voxel_points = self._pad_target(
-            cap
-            or max((v["flat"].shape[0] for v in self.vision_data.values()), default=1)
+            min(cap, data_max) if cap else data_max
         )
-        if cap:
-            self.max_voxel_points = min(self.max_voxel_points, self._pad_target(cap))
 
     def _fix_tokens(self, tokens) -> np.ndarray:
         out = np.zeros(self.max_tokens, dtype=np.int32)

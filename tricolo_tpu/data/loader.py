@@ -114,18 +114,33 @@ class BatchIterator:
             batch["num_valid"] = valid
             yield batch
 
+    def peek(self) -> dict:
+        """One batch without spinning up the prefetch thread (used for
+        shape-driven initialization; see Trainer.init_state)."""
+        return next(iter(self._batches()))
+
     def __iter__(self) -> Iterator[dict]:
         if not self.prefetch:
             yield from self._batches()
             return
         q: queue.Queue = queue.Queue(maxsize=2)
         sentinel = object()
+        stop = threading.Event()
         error: list[BaseException] = []
 
         def producer():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    # Bounded put that notices consumer abandonment, so a
+                    # dropped generator never leaks a blocked thread.
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as exc:  # surface worker errors to consumer
                 error.append(exc)
             finally:
@@ -133,12 +148,20 @@ class BatchIterator:
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            batch = q.get()
-            if batch is sentinel:
-                break
-            yield batch
-        thread.join()
+        try:
+            while True:
+                batch = q.get()
+                if batch is sentinel:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            while True:  # drain so the producer's final put never blocks
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=5)
         if error:
             raise error[0]
 

@@ -105,18 +105,23 @@ class PointCache:
     def __init__(self, cache_dir: str = "point_cache"):
         self.cache_dir = cache_dir
 
+    def path(self, model_id: str) -> str:
+        return os.path.join(self.cache_dir, f"{model_id}.npy")
+
+    def has(self, model_id: str) -> bool:
+        return os.path.exists(self.path(model_id))
+
     def get_or_sample(
         self, model_id: str, obj_path: str, scale: float, num_samples: int = NUM_SAMPLES
     ) -> np.ndarray:
-        path = os.path.join(self.cache_dir, f"{model_id}.npy")
-        if os.path.exists(path):
-            return np.load(path)
+        if self.has(model_id):
+            return np.load(self.path(model_id))
         from ..data.render import load_obj
 
         vertices, faces = load_obj(obj_path)
         points = sample_points_on_mesh(vertices * scale, faces, num_samples)
         os.makedirs(self.cache_dir, exist_ok=True)
-        np.save(path, points)
+        np.save(self.path(model_id), points)
         return points
 
 
@@ -137,8 +142,11 @@ def mesh_f1_for_query(
             "models", "model_normalized.obj",
         )
 
-    gt_vertices, _ = load_obj(obj_path(gt_id))
-    scale = gt_scale_factor(gt_vertices)
+    if cache.has(gt_id) and cache.has(pred_id):
+        scale = 1.0  # cached points already carry their scale (quirk noted above)
+    else:
+        gt_vertices, _ = load_obj(obj_path(gt_id))
+        scale = gt_scale_factor(gt_vertices)
     gt_points = cache.get_or_sample(gt_id, obj_path(gt_id), scale)
     pred_points = cache.get_or_sample(pred_id, obj_path(pred_id), scale)
     return f1_between_point_sets(pred_points, gt_points, (threshold,))[threshold]
@@ -165,10 +173,23 @@ def run_f1_over_nearest(
         pred_id = row["retrieved_models"][0]
         if gt_id not in model_to_category or pred_id not in model_to_category:
             continue
-        gt_obj = os.path.join(
-            shapenet_root, model_to_category[gt_id], gt_id, "models", "model_normalized.obj"
-        )
-        if not os.path.exists(gt_obj):
+
+        def obj_exists(model_id):
+            return os.path.exists(
+                os.path.join(
+                    shapenet_root, model_to_category[model_id], model_id,
+                    "models", "model_normalized.obj",
+                )
+            )
+
+        # Skip rows whose GT *or* retrieved mesh is unavailable — one
+        # missing OBJ must not abort a long evaluation sweep. When either
+        # mesh still needs sampling, the GT OBJ is also required for the
+        # gt-10 scale factor.
+        gt_ok = cache.has(gt_id) or obj_exists(gt_id)
+        pred_ok = cache.has(pred_id) or obj_exists(pred_id)
+        needs_sampling = not (cache.has(gt_id) and cache.has(pred_id))
+        if not (gt_ok and pred_ok) or (needs_sampling and not obj_exists(gt_id)):
             continue
         scores.append(
             mesh_f1_for_query(gt_id, pred_id, model_to_category, shapenet_root, cache, threshold)

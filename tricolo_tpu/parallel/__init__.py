@@ -13,7 +13,7 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
-from .collectives import make_global_nt_xent
+from .collectives import make_global_nt_xent, make_local_nt_xent
 from .sharding_rules import param_shardings, shard_state
 
 __all__ = [
@@ -22,6 +22,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "make_global_nt_xent",
+    "make_local_nt_xent",
     "param_shardings",
     "shard_state",
 ]

@@ -45,6 +45,35 @@ def _local_direction_loss(z_local, z_other_global, temperature, axis_name):
     return -jnp.sum(jnp.take_along_axis(logprobs, cols[:, None], axis=1))
 
 
+def make_local_nt_xent(
+    mesh: Mesh,
+    temperature: float = 0.1,
+    alpha_weight: float = 0.25,
+    norm: bool = True,
+):
+    """Per-device in-batch negatives (``parallel.global_negatives=false``).
+
+    Each chip computes the reference NT-Xent over only its local batch
+    shard and losses average across the mesh — the behavior a DDP port of
+    the reference would exhibit (negatives never cross devices,
+    nt_xent.py:59-69). Provided for ablations; the global-negative loss is
+    the default and the strict upgrade.
+    """
+    from ..losses.nt_xent import nt_xent_loss
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=P(),
+    )
+    def loss_fn(zis_local, zjs_local):
+        local = nt_xent_loss(zis_local, zjs_local, temperature, alpha_weight, norm)
+        return jax.lax.pmean(local, DATA_AXIS)
+
+    return loss_fn
+
+
 def make_global_nt_xent(
     mesh: Mesh,
     temperature: float = 0.1,

@@ -91,9 +91,13 @@ class CheckpointManager:
         return a > b if self.mode == "max" else a < b
 
     def save(self, state, epoch: int, metrics: dict[str, float]) -> str | None:
-        """Save if the monitored score makes the top-k; returns path or None."""
+        """Save if the monitored score makes the top-k; returns path or None.
+
+        Lightning semantics: save_top_k=0 disables saving, -1 keeps all."""
+        if self.save_top_k == 0:
+            return None
         score = float(metrics[self.monitor])
-        if self.save_top_k >= 0 and len(self._entries) >= self.save_top_k:
+        if 0 < self.save_top_k <= len(self._entries):
             worst = min if self.mode == "max" else max
             worst_entry = worst(self._entries, key=lambda e: e["score"])
             if not self._better(score, worst_entry["score"]):
@@ -104,9 +108,9 @@ class CheckpointManager:
         self._entries = [e for e in self._entries if e["path"] != path]
         self._entries.append({"path": path, "score": score, "epoch": epoch})
 
-        if self.save_top_k >= 0:
-            reverse = self.mode == "max"
-            self._entries.sort(key=lambda e: e["score"], reverse=reverse)
+        # Keep entries sorted best-first so best_path is right in every mode.
+        self._entries.sort(key=lambda e: e["score"], reverse=self.mode == "max")
+        if self.save_top_k > 0:
             for stale in self._entries[self.save_top_k :]:
                 if os.path.exists(stale["path"]):
                     os.remove(stale["path"])

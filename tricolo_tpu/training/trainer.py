@@ -43,13 +43,20 @@ class Trainer:
         if use_explicit_collectives is None:
             use_explicit_collectives = cfg.parallel.get("explicit_collectives", False)
         pair_loss = None
-        if use_explicit_collectives and cfg.loss.name == "NTXentLoss":
-            from ..parallel.collectives import make_global_nt_xent
-
+        if cfg.loss.name == "NTXentLoss":
             params = cfg.loss.NTXentLoss
-            pair_loss = make_global_nt_xent(
-                self.mesh, params.temperature, params.alpha_weight
-            )
+            if not cfg.parallel.get("global_negatives", True):
+                from ..parallel.collectives import make_local_nt_xent
+
+                pair_loss = make_local_nt_xent(
+                    self.mesh, params.temperature, params.alpha_weight
+                )
+            elif use_explicit_collectives:
+                from ..parallel.collectives import make_global_nt_xent
+
+                pair_loss = make_global_nt_xent(
+                    self.mesh, params.temperature, params.alpha_weight
+                )
         self.train_step = make_train_step(self.model, self.tx, cfg, pair_loss)
         self.eval_step = make_eval_step(self.model, cfg)
         self.rng = jax.random.PRNGKey(cfg.train_seed)
@@ -159,12 +166,11 @@ class Trainer:
             save_top_k=cfg.checkpoint_monitor.save_top_k,
         )
 
-        first_batch = next(iter(train_loader))
         if resume_ckpt is not None:
             state, last_epoch = self.load_state(resume_ckpt)
             start_epoch = last_epoch + 1
         else:
-            state = self.init_state(first_batch)
+            state = self.init_state(train_loader.peek())
             start_epoch = 0
 
         dropout_rng, self.rng = jax.random.split(self.rng)
@@ -237,10 +243,17 @@ class Trainer:
     def collect_embeddings(self, state, loader, with_loss: bool = False):
         """Run the eval step over a loader; build the caption-tuple dict
         (reference validation/test steps + _collate_output,
-        tricolo_net.py:73-158). Padded tail rows are dropped via num_valid."""
+        tricolo_net.py:73-158). Padded tail rows are dropped via num_valid.
+
+        Val losses average over *full* batches only: a padded tail batch's
+        duplicated rows would act as maximal false negatives in the
+        contrastive loss and bias the logged value (the reference feeds the
+        ragged tail instead — documented divergence; retrieval metrics are
+        unaffected since padded rows never enter the embedding set)."""
         tuples = []
         loss_totals: dict[str, float] = defaultdict(float)
-        n_batches = 0
+        n_loss_batches = 0
+        batch_size = loader.batch_size
         for batch in loader:
             device_batch = shard_batch(batch, self.mesh)
             output, loss_dict = self.eval_step(state, device_batch)
@@ -251,11 +264,11 @@ class Trainer:
                 tuples.append(
                     (None, batch["category"][i], batch["model_id"][i], text[i], shape[i])
                 )
-            if with_loss:
-                n_batches += 1
+            if with_loss and n_valid == batch_size:
+                n_loss_batches += 1
                 for key, value in loss_dict.items():
                     loss_totals[key] += float(value)
-        losses = {k: v / max(n_batches, 1) for k, v in loss_totals.items()}
+        losses = {k: v / max(n_loss_batches, 1) for k, v in loss_totals.items()}
         return {"caption_embedding_tuples": tuples}, losses
 
     def _run_retrieval_eval(
