@@ -258,3 +258,27 @@ class TestVoxelBudget:
         capped = build_dataset(cfg, "train")
         auto = build_dataset(load_config(["data=synthetic"]), "train")
         assert capped.max_voxel_points == auto.max_voxel_points
+
+
+class TestParallelLoad:
+    def test_threaded_load_matches_serial(self, tmp_path):
+        rows = make_disk_dataset(str(tmp_path), n_models=6)
+        base = [
+            "data=synthetic",
+            f"data.exp_data_root_path={tmp_path}",
+            f"data.train_lang_data_path={os.path.join(tmp_path, 'train_map.json')}",
+            "data.voxel_size=32",
+            "data.image_size=16",
+            "data.num_views=4",
+        ]
+        serial = GeneralDataset(load_config([*base, "data.num_workers=0"]), "train")
+        threaded = GeneralDataset(load_config([*base, "data.num_workers=4"]), "train")
+        assert serial.vision_data.keys() == threaded.vision_data.keys()
+        for key in serial.vision_data:
+            np.testing.assert_array_equal(
+                serial.vision_data[key]["flat"], threaded.vision_data[key]["flat"]
+            )
+            np.testing.assert_array_equal(
+                serial.vision_data[key]["images"], threaded.vision_data[key]["images"]
+            )
+        assert serial.max_voxel_points == threaded.max_voxel_points

@@ -150,7 +150,8 @@ class GeneralDataset:
             )
 
         self.language_data: list[dict] = []
-        self.vision_data: dict[tuple, dict] = {}
+        unique_keys: list[tuple] = []
+        seen: set[tuple] = set()
         for row in raw_rows:
             key = (row["category"], row["model_id"])
             self.language_data.append(
@@ -161,8 +162,26 @@ class GeneralDataset:
                     "text": row["caption"].strip(),
                 }
             )
-            if key not in self.vision_data:
-                self.vision_data[key] = self._load_model(key, clip_cache)
+            if key not in seen:
+                seen.add(key)
+                unique_keys.append(key)
+
+        # Parallel split load over cfg.data.num_workers threads (the
+        # reference's num_workers feeds torch DataLoader processes,
+        # data_module.py:24; here the per-epoch path is cheap and the
+        # one-time npz decode sweep is the parallel win — the C++ loader
+        # releases the GIL, so threads scale).
+        workers = int(cfg.data.get("num_workers", 0) or 0)
+        if workers > 1 and len(unique_keys) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                entries = list(
+                    pool.map(lambda k: self._load_model(k, clip_cache), unique_keys)
+                )
+        else:
+            entries = [self._load_model(k, clip_cache) for k in unique_keys]
+        self.vision_data = dict(zip(unique_keys, entries))
 
         data_max = max(
             (v["flat"].shape[0] for v in self.vision_data.values()), default=1
