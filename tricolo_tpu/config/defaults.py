@@ -117,7 +117,13 @@ def default_config() -> ConfigNode:
             # Loss selection (reference config.yaml:96-104).
             "loss": {
                 "name": "NTXentLoss",
-                "NTXentLoss": {"temperature": 0.1, "alpha_weight": 0.25},
+                # use_pallas: blocked online-softmax Pallas kernel (no O(B²)
+                # HBM logits; for very large global batches). Equivalent.
+                "NTXentLoss": {
+                    "temperature": 0.1,
+                    "alpha_weight": 0.25,
+                    "use_pallas": False,
+                },
                 "TripletLoss": {"margin": 0.025},
             },
             "inference": {

@@ -32,6 +32,13 @@ def make_loss_fn(cfg) -> Callable[[jax.Array, jax.Array], jax.Array]:
     if name == "NTXentLoss":
         params = cfg.loss.NTXentLoss
         temperature, alpha = params.temperature, params.alpha_weight
+        if params.get("use_pallas", False):
+            # Blocked online-softmax kernel: O(B²) logits never reach HBM —
+            # for very large global batches (ops/nt_xent_pallas.py); exact
+            # value/grad parity with the plain loss is tested.
+            from ..ops import pallas_nt_xent_loss
+
+            return lambda a, b: pallas_nt_xent_loss(a, b, temperature, alpha)
         return lambda a, b: nt_xent_loss(a, b, temperature, alpha)
     if name == "TripletLoss":
         margin = cfg.loss.TripletLoss.margin
