@@ -1,0 +1,209 @@
+"""Composed full-model torch-oracle training-step test.
+
+The strongest runnable substitute for the reference's README-checkpoint
+regression oracle (reference README.md:122-129 can't be reproduced without
+the released ckpts + dataset): build the reference's Bi(V) training step in
+CPU torch — BiGRU text encoder (bigru.py:7-18) + a dense-equivalent voxel
+CNN with the SparseCNNEncoder channel schedule (sparse_cnn.py:11-44) +
+NT-Xent (nt_xent.py:54-74) + torch.optim.Adam (config.yaml:50-53) —
+transplant the weights into our TriCoLoNet, and require the *actual
+framework train step* (training/steps.make_train_step, torch-Adam optax
+chain, BN stat updates) to track the torch losses step for step.
+
+This composes every oracle-tested piece (BiGRU, Adam, NT-Xent, BN) through
+the real pipeline: prepare_device_batch densify → encoders → pairwise loss →
+grad → update.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from tricolo_tpu.config import load_config  # noqa: E402
+from tricolo_tpu.data.device_prep import pack_sparse_voxels, prepare_device_batch  # noqa: E402
+from tricolo_tpu.models.tricolo_net import TriCoLoNet  # noqa: E402
+from tricolo_tpu.training import TrainState, make_optimizer, make_train_step  # noqa: E402
+
+VOCAB, OUT, EF, Z = 50, 16, 4, 16
+BATCH, VOX, SEQ, NPTS = 8, 32, 12, 64
+
+
+class TorchBiGRU(torch.nn.Module):
+    """Reference text encoder (tricolo/model/module/text_encoder/bigru.py:7-18)."""
+
+    def __init__(self):
+        super().__init__()
+        self.embedding_layer = torch.nn.Embedding(VOCAB, 256, padding_idx=0)
+        self.gru = torch.nn.GRU(256, 128, num_layers=1, bidirectional=True)
+        self.fc = torch.nn.Linear(256, OUT)
+
+    def forward(self, x):
+        emb = torch.transpose(self.embedding_layer(x), 0, 1)
+        h0 = torch.zeros(size=(2, emb.shape[1], 128), dtype=torch.float32)
+        _, hidden = self.gru(emb, h0)
+        out = torch.tanh(self.fc(torch.cat((hidden[-2], hidden[-1]), dim=1)))
+        return F.normalize(out, dim=1)
+
+
+class TorchVoxelCNN(torch.nn.Module):
+    """Dense twin of the reference SparseCNNEncoder (sparse_cnn.py:11-44):
+    5× [Conv3d(k=3, no bias) → BatchNorm → ReLU → MaxPool(2)] with channels
+    3→ef→2ef→4ef→8ef→z, flatten, Linear→ReLU→Linear, L2-normalize."""
+
+    def __init__(self):
+        super().__init__()
+        chans = [3, EF, EF * 2, EF * 4, EF * 8, Z]
+        layers = []
+        for cin, cout in zip(chans[:-1], chans[1:]):
+            layers += [
+                torch.nn.Conv3d(cin, cout, 3, padding=1, bias=False),
+                torch.nn.BatchNorm3d(cout),
+                torch.nn.ReLU(),
+                torch.nn.MaxPool3d(2),
+            ]
+        self.net = torch.nn.Sequential(*layers)
+        # 32³ input through five 2× pools → 1³ spatial, so flatten == Z and
+        # no NCDHW/NDHWC flatten-order permutation is needed.
+        self.mlp = torch.nn.Sequential(
+            torch.nn.Linear(Z, OUT), torch.nn.ReLU(), torch.nn.Linear(OUT, OUT)
+        )
+
+    def forward(self, x):
+        h = self.net(x).flatten(start_dim=1)
+        return F.normalize(self.mlp(h), dim=1)
+
+
+def torch_nt_xent(zis, zjs, tau=0.1, alpha=0.25):
+    """Reference NTXentLoss numerics (nt_xent.py:54-74)."""
+    zis, zjs = F.normalize(zis, dim=1), F.normalize(zjs, dim=1)
+    b = zis.shape[0]
+    eye = torch.eye(b)
+
+    def sxent(logits):
+        return (-eye * F.log_softmax(logits, dim=1)).sum() / b
+
+    loss_ab = sxent(zis @ zjs.t() / tau)
+    loss_ba = sxent(zjs @ zis.t() / tau)
+    return alpha * loss_ab + (1 - alpha) * loss_ba
+
+
+def _host_batch(rng):
+    tokens = rng.integers(1, VOCAB, (BATCH, SEQ)).astype(np.int32)
+    tokens[0, 6:] = 0  # trailing padding
+    flat = np.empty((BATCH, NPTS), np.uint32)
+    rgb = np.empty((BATCH, NPTS), np.uint32)
+    for i in range(BATCH):
+        n = NPTS - 8
+        sites = np.sort(rng.choice(VOX**3, size=n, replace=False))
+        coords = np.stack(
+            [sites // VOX**2, (sites // VOX) % VOX, sites % VOX], axis=1
+        ).astype(np.uint8)
+        feats = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        flat[i], rgb[i] = pack_sparse_voxels(coords, feats, NPTS)
+    return {"tokens": tokens, "voxel_flat": flat, "voxel_rgb": rgb}
+
+
+def _transplant(variables, tt, tv):
+    params = jax.tree.map(np.array, variables["params"])
+    stats = jax.tree.map(np.array, variables["batch_stats"])
+
+    text = params["text_encoder"]
+    text["Embed_0"]["embedding"] = tt.embedding_layer.weight.detach().numpy()
+    for direction, sfx in (("gru_fwd", ""), ("gru_bwd", "_reverse")):
+        text[direction]["w_ih"] = getattr(tt.gru, f"weight_ih_l0{sfx}").detach().numpy().T
+        text[direction]["w_hh"] = getattr(tt.gru, f"weight_hh_l0{sfx}").detach().numpy().T
+        text[direction]["b_ih"] = getattr(tt.gru, f"bias_ih_l0{sfx}").detach().numpy()
+        text[direction]["b_hh"] = getattr(tt.gru, f"bias_hh_l0{sfx}").detach().numpy()
+    text["fc"]["Dense_0"]["kernel"] = tt.fc.weight.detach().numpy().T
+    text["fc"]["Dense_0"]["bias"] = tt.fc.bias.detach().numpy()
+
+    vox = params["voxel_encoder"]
+    vox_stats = stats["voxel_encoder"]
+    convs = [m for m in tv.net if isinstance(m, torch.nn.Conv3d)]
+    bns = [m for m in tv.net if isinstance(m, torch.nn.BatchNorm3d)]
+    for i, (conv, bn) in enumerate(zip(convs, bns)):
+        block = vox[f"ConvBlock_{i}"]
+        block["Conv_0"]["kernel"] = (
+            conv.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
+        )
+        block["BatchNorm_0"]["scale"] = bn.weight.detach().numpy()
+        block["BatchNorm_0"]["bias"] = bn.bias.detach().numpy()
+        sb = vox_stats[f"ConvBlock_{i}"]["BatchNorm_0"]
+        sb["mean"] = bn.running_mean.detach().numpy()
+        sb["var"] = bn.running_var.detach().numpy()
+    mlp = vox["MLPHead_0"]
+    for j, lin in enumerate(m for m in tv.mlp if isinstance(m, torch.nn.Linear)):
+        dense = mlp[f"TorchLinear_{j}"]["Dense_0"]
+        dense["kernel"] = lin.weight.detach().numpy().T
+        dense["bias"] = lin.bias.detach().numpy()
+
+    # jnp.array copies: .detach().numpy() above are *views* of the live torch
+    # tensors and CPU-JAX asarray is zero-copy — without the copy, torch's
+    # opt.step() would mutate the transplanted JAX params in place.
+    return {
+        "params": jax.tree.map(lambda a: jnp.array(a, copy=True), params),
+        "batch_stats": jax.tree.map(lambda a: jnp.array(a, copy=True), stats),
+    }
+
+
+def test_biv_train_steps_match_torch():
+    cfg = load_config(
+        [
+            "data=synthetic",
+            "model.voxel_encoder=VoxelCNNEncoder",
+            f"model.out_dim={OUT}",
+            f"model.modules.VoxelCNNEncoder.ef_dim={EF}",
+            f"model.modules.VoxelCNNEncoder.z_dim={Z}",
+            f"model.modules.MVCNNEncoder.z_dim={Z}",
+            f"data.vocab_size={VOCAB}",
+            f"data.voxel_size={VOX}",
+            f"data.batch_size={BATCH}",
+            "precision.compute_dtype=float32",
+        ]
+    )
+    rng = np.random.default_rng(7)
+    host = _host_batch(rng)
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+
+    torch.manual_seed(0)
+    tt, tv = TorchBiGRU(), TorchVoxelCNN()
+
+    model = TriCoLoNet.from_config(cfg)
+    device_batch = prepare_device_batch(batch, VOX)
+    variables = model.init(jax.random.PRNGKey(0), device_batch)
+    variables = _transplant(variables, tt, tv)
+
+    # Same dense voxels the framework step consumes, NCDHW for torch.
+    dense = np.asarray(device_batch["voxels"])
+    t_vox = torch.from_numpy(dense.transpose(0, 4, 1, 2, 3).copy())
+    t_tok = torch.from_numpy(host["tokens"].astype(np.int64))
+
+    lr = cfg.optimizer.lr
+    opt = torch.optim.Adam(
+        list(tt.parameters()) + list(tv.parameters()),
+        lr=lr,
+        weight_decay=cfg.optimizer.weight_decay,
+        eps=1e-8,
+    )
+
+    tx = make_optimizer(cfg)
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, tx, cfg)
+    key = jax.random.PRNGKey(1)
+
+    tt.train(), tv.train()
+    for step in range(3):
+        opt.zero_grad()
+        t_loss = torch_nt_xent(tt(t_tok), tv(t_vox))
+        t_loss.backward()
+        opt.step()
+
+        state, losses = train_step(state, batch, lr, key)
+        j_loss = float(losses["train_loss/total_loss"])
+        assert abs(j_loss - float(t_loss)) < 2e-4, (
+            f"step {step}: jax {j_loss} vs torch {float(t_loss)}"
+        )

@@ -1,0 +1,170 @@
+"""Fused BN→ReLU→MaxPool(2³) op: value/grad equivalence with the XLA twin.
+
+The fused op (ops/fused_bn_pool.py) replaces the voxel ConvBlock's
+BatchNorm/relu/max_pool composition (reference sparse_cnn.py:11-44 dense
+redesign) on TPU. These tests run it in interpret mode on the CPU mesh and
+pin: forward values + batch statistics, full VJP (dy, dγ, dβ) against
+jax.grad of the composition, exact first-max tie routing (XLA
+select_and_scatter semantics), and the flax-module integration (variable
+tree unchanged, fused/plain toggle produces the same training step).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tricolo_tpu.ops.fused_bn_pool import (
+    fused_bn_relu_pool,
+    inference_bn_relu_pool,
+    reference_bn_relu_pool,
+)
+
+
+def _rand(rng, shape):
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+
+class TestFusedOp:
+    def test_forward_matches_reference(self):
+        rng = np.random.default_rng(0)
+        y = _rand(rng, (2, 8, 8, 8, 16))
+        scale = _rand(rng, (16,)) * 0.2 + 1.0
+        bias = _rand(rng, (16,)) * 0.2
+        pf, mf, vf = fused_bn_relu_pool(y, scale, bias)
+        pr, mr, vr = reference_bn_relu_pool(y, scale, bias)
+        assert pf.shape == (2, 4, 4, 4, 16)
+        np.testing.assert_allclose(pf, pr, atol=1e-6)
+        np.testing.assert_array_equal(mf, mr)
+        np.testing.assert_array_equal(vf, vr)
+
+    def test_grads_match_reference(self):
+        rng = np.random.default_rng(1)
+        y = _rand(rng, (2, 8, 8, 8, 16))
+        scale = _rand(rng, (16,)) * 0.2 + 1.0
+        bias = _rand(rng, (16,)) * 0.2
+        ct = _rand(rng, (2, 4, 4, 4, 16))
+
+        gf = jax.grad(
+            lambda *a: jnp.sum(fused_bn_relu_pool(*a)[0] * ct), argnums=(0, 1, 2)
+        )(y, scale, bias)
+        gr = jax.grad(
+            lambda *a: jnp.sum(reference_bn_relu_pool(*a)[0] * ct), argnums=(0, 1, 2)
+        )(y, scale, bias)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_tie_routing_matches_select_and_scatter(self):
+        # Integer-valued inputs produce exact ties (whole constant windows,
+        # like empty voxel space); the first max in (d, h, w) scan order must
+        # receive the gradient, matching XLA/torch.
+        rng = np.random.default_rng(2)
+        y = jnp.asarray(rng.integers(-2, 3, size=(2, 4, 4, 8, 8)).astype(np.float32))
+        scale, bias = jnp.ones(8), jnp.zeros(8)
+        ct = _rand(rng, (2, 2, 2, 4, 8))
+        gf = jax.grad(lambda y: jnp.sum(fused_bn_relu_pool(y, scale, bias)[0] * ct))(y)
+        gr = jax.grad(
+            lambda y: jnp.sum(reference_bn_relu_pool(y, scale, bias)[0] * ct)
+        )(y)
+        np.testing.assert_allclose(gf, gr, atol=1e-6)
+
+    def test_bf16_forward_matches(self):
+        rng = np.random.default_rng(3)
+        y = _rand(rng, (2, 8, 8, 8, 16)).astype(jnp.bfloat16)
+        scale = _rand(rng, (16,)) * 0.2 + 1.0
+        bias = _rand(rng, (16,)) * 0.2
+        pf, _, _ = fused_bn_relu_pool(y, scale, bias)
+        pr, _, _ = reference_bn_relu_pool(y, scale, bias)
+        assert pf.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(pf, np.float32), np.asarray(pr, np.float32)
+        )
+
+    def test_mean_var_cotangents_are_exact(self):
+        # The op returns (pooled, mean, var); grads flowing through the
+        # statistics outputs must match the composition too.
+        rng = np.random.default_rng(4)
+        y = _rand(rng, (2, 4, 4, 4, 8))
+        scale = _rand(rng, (8,)) * 0.2 + 1.0
+        bias = _rand(rng, (8,)) * 0.2
+
+        def lf(y):
+            p, m, v = fused_bn_relu_pool(y, scale, bias)
+            return jnp.sum(p) + jnp.sum(m * 0.7) + jnp.sum(v * 1.3)
+
+        def lr(y):
+            p, m, v = reference_bn_relu_pool(y, scale, bias)
+            return jnp.sum(p) + jnp.sum(m * 0.7) + jnp.sum(v * 1.3)
+
+        np.testing.assert_allclose(jax.grad(lf)(y), jax.grad(lr)(y), atol=2e-5)
+
+    def test_odd_spatial_raises(self):
+        y = jnp.zeros((1, 3, 4, 4, 8))
+        with pytest.raises(ValueError, match="even"):
+            fused_bn_relu_pool(y, jnp.ones(8), jnp.zeros(8))
+
+    def test_inference_path(self):
+        rng = np.random.default_rng(5)
+        y = _rand(rng, (2, 4, 4, 4, 8))
+        scale = _rand(rng, (8,)) * 0.2 + 1.0
+        bias = _rand(rng, (8,)) * 0.2
+        mean = _rand(rng, (8,)) * 0.1
+        var = jnp.abs(_rand(rng, (8,))) + 0.5
+        out = inference_bn_relu_pool(y, scale, bias, mean, var)
+        inv = 1.0 / np.sqrt(np.asarray(var) + 1e-5)
+        a = np.maximum(
+            (np.asarray(y) - np.asarray(mean)) * inv * np.asarray(scale)
+            + np.asarray(bias),
+            0.0,
+        )
+        expect = a.reshape(2, 2, 2, 2, 2, 2, 2, 8).max(axis=(2, 4, 6))
+        np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+class TestModuleIntegration:
+    def _encoder(self, fused):
+        from tricolo_tpu.models.voxel_cnn import VoxelCNNEncoder
+
+        return VoxelCNNEncoder(voxel_size=32, ef_dim=4, z_dim=16, out_dim=16,
+                               fused_bn_pool=fused)
+
+    def test_variable_tree_keeps_batchnorm_layout(self):
+        enc = self._encoder(fused=False)
+        x = jnp.zeros((2, 32, 32, 32, 3))
+        variables = enc.init(jax.random.PRNGKey(0), x)
+        block0 = variables["params"]["ConvBlock_0"]
+        assert set(block0["BatchNorm_0"].keys()) == {"scale", "bias"}
+        stats0 = variables["batch_stats"]["ConvBlock_0"]["BatchNorm_0"]
+        assert set(stats0.keys()) == {"mean", "var"}
+
+    def test_fused_and_plain_paths_agree(self):
+        rng = np.random.default_rng(6)
+        x = _rand(rng, (2, 32, 32, 32, 3))
+        enc_p = self._encoder(fused=False)
+        enc_f = self._encoder(fused=True)
+        variables = enc_p.init(jax.random.PRNGKey(0), x)
+
+        def step(enc, variables):
+            def loss(params):
+                out, updates = enc.apply(
+                    {**variables, "params": params},
+                    x,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                return jnp.sum(out * out), updates
+
+            (value, updates), grads = jax.value_and_grad(loss, has_aux=True)(
+                variables["params"]
+            )
+            return value, updates, grads
+
+        vp, up, gp = step(enc_p, variables)
+        vf, uf, gf = step(enc_f, variables)
+        np.testing.assert_allclose(vp, vf, rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=3e-5), up, uf
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=3e-5), gp, gf
+        )

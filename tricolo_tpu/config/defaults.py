@@ -98,6 +98,9 @@ def default_config() -> ConfigNode:
                         "ef_dim": 32,
                         "z_dim": 512,
                         "out_dim": "${model.out_dim}",
+                        # "auto": fused Pallas BN/ReLU/pool kernel on TPU,
+                        # plain XLA elsewhere; true/false forces it.
+                        "fused_bn_pool": "auto",
                     },
                     "clip_model": "ViT-L/14",
                     "clip_feature_dim": 768,

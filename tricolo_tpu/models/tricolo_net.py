@@ -52,6 +52,7 @@ class TriCoLoNet(nn.Module):
     # VoxelCNN
     voxel_size: int = 64
     ef_dim: int = 32
+    voxel_fused_bn_pool: bool | None = None
     # CLIP heads
     clip_feature_dim: int = 768
     clip_dropout: float = 0.1
@@ -83,6 +84,9 @@ class TriCoLoNet(nn.Module):
             cnn_name=modules.MVCNNEncoder.cnn_name,
             voxel_size=modules.VoxelCNNEncoder.voxel_size,
             ef_dim=modules.VoxelCNNEncoder.ef_dim,
+            voxel_fused_bn_pool={"auto": None, True: True, False: False}[
+                modules.VoxelCNNEncoder.get("fused_bn_pool", "auto")
+            ],
             clip_feature_dim=modules.clip_feature_dim,
             clip_dropout=modules.CLIPTextEncoder.dropout,
             dtype=dtype,
@@ -128,7 +132,8 @@ class TriCoLoNet(nn.Module):
             output["voxel_features"] = VoxelCNNEncoder(
                 voxel_size=self.voxel_size, ef_dim=self.ef_dim, z_dim=self.z_dim,
                 out_dim=self.out_dim, dtype=self.dtype,
-                param_dtype=self.param_dtype or jax.numpy.float32, name="voxel_encoder",
+                param_dtype=self.param_dtype or jax.numpy.float32,
+                fused_bn_pool=self.voxel_fused_bn_pool, name="voxel_encoder",
             )(batch["voxels"], train=train, deterministic=deterministic)
         elif self.voxel_encoder is not None:
             raise ValueError(f"unknown voxel encoder: {self.voxel_encoder}")

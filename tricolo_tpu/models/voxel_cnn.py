@@ -35,7 +35,68 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.fused_bn_pool import (
+    fused_bn_relu_pool,
+    inference_bn_relu_pool,
+    reference_bn_relu_pool,
+)
 from .common import MLPHead, l2_normalize, torch_conv_kernel_init
+
+
+class BNReLUPool(nn.Module):
+    """BatchNorm → ReLU → MaxPool(2³) with a fused Pallas training path.
+
+    Owns flax-BatchNorm-compatible variables (params scale/bias, batch_stats
+    mean/var) so fused vs plain is a pure compute-path toggle over one
+    parameter tree. In train mode the fused custom-VJP op (ops/fused_bn_pool)
+    computes batch statistics, activation and pooling in two bandwidth-
+    optimal Pallas passes backward instead of XLA's select_and_scatter + BN
+    backward chain; `use_fused=None` auto-enables it on TPU backends only
+    (elsewhere the identical-formula XLA twin runs). Normalization is
+    y·mul + add with per-channel folded constants — same math as flax
+    BatchNorm within one rounding.
+    """
+
+    momentum: float = 0.9  # flax convention; == torch momentum 0.1
+    epsilon: float = 1e-5
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    use_fused: bool | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        features = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (features,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (features,), self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+
+        if train:
+            fused = self.use_fused
+            if fused is None:
+                fused = jax.default_backend() == "tpu"
+            op = fused_bn_relu_pool if fused else reference_bn_relu_pool
+            pooled, mean, var = op(x, scale, bias, self.epsilon)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                )
+        else:
+            pooled = inference_bn_relu_pool(
+                x, scale, bias, ra_mean.value, ra_var.value, self.epsilon
+            )
+        return pooled
 
 
 class ConvBlock(nn.Module):
@@ -44,6 +105,7 @@ class ConvBlock(nn.Module):
     features: int
     dtype: Any = None
     param_dtype: Any = jnp.float32
+    fused_bn_pool: bool | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -56,18 +118,19 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
-        # BN in the compute dtype: normalizing the (B, 64³, C) block in f32
-        # costs ~20 ms/step extra HBM traffic on v5e (measured); statistics
-        # still accumulate in f32 inside flax's _compute_stats.
-        x = nn.BatchNorm(
-            use_running_average=not train,
+        # BN runs in the compute dtype (bf16 on TPU): normalizing the
+        # (B, 64³, C) block in f32 costs ~20 ms/step extra HBM traffic on
+        # v5e (measured); statistics always accumulate in f32. The module
+        # keeps the flax BatchNorm variable layout ("BatchNorm_0" with
+        # scale/bias/mean/var) for checkpoint compatibility.
+        x = BNReLUPool(
             momentum=0.9,  # torch BatchNorm default momentum=0.1
             epsilon=1e-5,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
+            use_fused=self.fused_bn_pool,
+            name="BatchNorm_0",
+        )(x, train=train)
         return x
 
 
@@ -80,6 +143,8 @@ class VoxelCNNEncoder(nn.Module):
     out_dim: int = 512
     dtype: Any = None
     param_dtype: Any = jnp.float32
+    # None = auto: fused Pallas BN/ReLU/pool on TPU, XLA twin elsewhere.
+    fused_bn_pool: bool | None = None
 
     @nn.compact
     def __call__(self, voxels: jax.Array, *, train: bool = False, deterministic: bool = True) -> jax.Array:
@@ -95,7 +160,12 @@ class VoxelCNNEncoder(nn.Module):
         x = voxels.astype(compute_dtype)
         channels = (self.ef_dim, self.ef_dim * 2, self.ef_dim * 4, self.ef_dim * 8, self.z_dim)
         for features in channels:
-            x = ConvBlock(features, dtype=self.dtype, param_dtype=self.param_dtype)(x, train=train)
+            x = ConvBlock(
+                features,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                fused_bn_pool=self.fused_bn_pool,
+            )(x, train=train)
         x = x.reshape(x.shape[0], -1)  # (B, (D/32)^3 * z_dim); 4096 at D=64
         x = MLPHead(self.out_dim, self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype)(
             x, deterministic=deterministic
