@@ -108,3 +108,204 @@ class TestMVCNNIntegration:
         step = make_train_step(model, tx, cfg)
         state, losses = step(state, shard_batch(batch, mesh), 3.5e-4, jax.random.PRNGKey(0))
         assert np.isfinite(float(losses["train_loss/total_loss"]))
+
+
+class TestPretrainedConversion:
+    """Converter oracle: a minimal torch EfficientNet-B0 with
+    efficientnet_pytorch's exact state_dict naming (lukemelas layout:
+    _conv_stem/_bn0, _blocks.{i}._expand_conv/.../_bn2, _conv_head/_bn1)
+    and TF-SAME padding; converted weights must reproduce its
+    extract_features + mean-pool output (reference mv_cnn.py:53-60)."""
+
+    @staticmethod
+    def _torch_model():
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as TF
+
+        def same_pad(x, k, s):
+            ih, iw = x.shape[-2:]
+            pad_h = max((-(-ih // s) - 1) * s + k - ih, 0)
+            pad_w = max((-(-iw // s) - 1) * s + k - iw, 0)
+            return TF.pad(
+                x,
+                [pad_w // 2, pad_w - pad_w // 2, pad_h // 2, pad_h - pad_h // 2],
+            )
+
+        class MBConv(torch.nn.Module):
+            def __init__(self, cin, cout, expand, k, stride):
+                super().__init__()
+                mid = cin * expand
+                if expand != 1:
+                    self._expand_conv = torch.nn.Conv2d(cin, mid, 1, bias=False)
+                    self._bn0 = torch.nn.BatchNorm2d(mid, eps=1e-3)
+                self._depthwise_conv = torch.nn.Conv2d(
+                    mid, mid, k, stride=stride, groups=mid, bias=False
+                )
+                self._bn1 = torch.nn.BatchNorm2d(mid, eps=1e-3)
+                se = max(1, int(cin * 0.25))
+                self._se_reduce = torch.nn.Conv2d(mid, se, 1)
+                self._se_expand = torch.nn.Conv2d(se, mid, 1)
+                self._project_conv = torch.nn.Conv2d(mid, cout, 1, bias=False)
+                self._bn2 = torch.nn.BatchNorm2d(cout, eps=1e-3)
+                self.cfg = (cin, cout, expand, k, stride)
+
+            def forward(self, x):
+                cin, cout, expand, k, stride = self.cfg
+                inp = x
+                if expand != 1:
+                    x = TF.silu(self._bn0(self._expand_conv(x)))
+                x = same_pad(x, k, stride)
+                x = TF.silu(self._bn1(self._depthwise_conv(x)))
+                se = x.mean(dim=(2, 3), keepdim=True)
+                se = self._se_expand(TF.silu(self._se_reduce(se)))
+                x = x * torch.sigmoid(se)
+                x = self._bn2(self._project_conv(x))
+                if stride == 1 and cin == cout:
+                    x = x + inp
+                return x
+
+        class EffNetB0(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self._conv_stem = torch.nn.Conv2d(3, 32, 3, stride=2, bias=False)
+                self._bn0 = torch.nn.BatchNorm2d(32, eps=1e-3)
+                plan = [
+                    (1, 3, 1, 32, 16, 1), (6, 3, 2, 16, 24, 2),
+                    (6, 5, 2, 24, 40, 2), (6, 3, 2, 40, 80, 3),
+                    (6, 5, 1, 80, 112, 3), (6, 5, 2, 112, 192, 4),
+                    (6, 3, 1, 192, 320, 1),
+                ]
+                blocks = []
+                for expand, k, s, cin, cout, reps in plan:
+                    for rep in range(reps):
+                        blocks.append(
+                            MBConv(cin if rep == 0 else cout, cout, expand, k,
+                                   s if rep == 0 else 1)
+                        )
+                self._blocks = torch.nn.ModuleList(blocks)
+                self._conv_head = torch.nn.Conv2d(320, 1280, 1, bias=False)
+                self._bn1 = torch.nn.BatchNorm2d(1280, eps=1e-3)
+
+            def extract_features(self, x):
+                x = same_pad(x, 3, 2)
+                x = TF.silu(self._bn0(self._conv_stem(x)))
+                for block in self._blocks:
+                    x = block(x)
+                return TF.silu(self._bn1(self._conv_head(x)))
+
+        torch.manual_seed(0)
+        model = EffNetB0().eval()
+        # Non-trivial running statistics so BN conversion is actually tested.
+        gen = torch.Generator().manual_seed(1)
+        for mod in model.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.copy_(
+                    torch.randn(mod.running_mean.shape, generator=gen) * 0.1
+                )
+                mod.running_var.copy_(
+                    torch.rand(mod.running_var.shape, generator=gen) + 0.5
+                )
+        return model
+
+    def test_b0_forward_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        from tricolo_tpu.models.efficientnet import convert_efficientnet_state_dict
+
+        tm = self._torch_model()
+        state_dict = {k: v.numpy() for k, v in tm.state_dict().items()}
+        params, stats = convert_efficientnet_state_dict(state_dict, "efficientnet_b0")
+
+        model = EfficientNet(cnn_name="efficientnet_b0")
+        x = np.random.default_rng(2).normal(size=(2, 64, 64, 3)).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+        # Every converted leaf must land on an existing slot, shape-exact.
+        def graft(dst, src, where):
+            for key, val in src.items():
+                assert key in dst, f"{where}/{key} missing in model tree"
+                if isinstance(val, dict):
+                    graft(dst[key], val, f"{where}/{key}")
+                else:
+                    assert dst[key].shape == val.shape, f"{where}/{key}"
+                    dst[key] = jnp.asarray(val)
+
+        variables = jax.tree.map(np.asarray, variables)
+        graft(variables["params"], params, "params")
+        graft(variables["batch_stats"], stats, "batch_stats")
+        variables = jax.tree.map(jnp.asarray, variables)
+
+        out = model.apply(variables, jnp.asarray(x))
+        with torch.no_grad():
+            feats = tm.extract_features(
+                torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+            )
+            expected = feats.mean(dim=(2, 3)).numpy()
+        np.testing.assert_allclose(np.asarray(out), expected, atol=2e-4)
+
+    def test_b3_conversion_key_coverage(self):
+        # B3 (width 1.2 / depth 1.4): synthesize a state_dict with the right
+        # shapes from the scaling math and check it fills the model tree.
+        from tricolo_tpu.models.efficientnet import (
+            _BASE_BLOCKS,
+            _round_filters,
+            _round_repeats,
+            convert_efficientnet_state_dict,
+        )
+
+        rng = np.random.default_rng(3)
+        sd = {}
+
+        def conv(key, cout, cin, k):
+            sd[key] = rng.normal(size=(cout, cin, k, k)).astype(np.float32)
+
+        def bn(prefix, c):
+            for part in ("weight", "bias", "running_mean", "running_var"):
+                sd[f"{prefix}.{part}"] = np.abs(
+                    rng.normal(size=(c,)).astype(np.float32)
+                )
+
+        width, depth = 1.2, 1.4
+        stem = _round_filters(32, width)
+        conv("_conv_stem.weight", stem, 3, 3)
+        bn("_bn0", stem)
+        i = 0
+        for expand, k, s, cin, cout, reps in _BASE_BLOCKS:
+            cin, cout = _round_filters(cin, width), _round_filters(cout, width)
+            for rep in range(_round_repeats(reps, depth)):
+                c = cin if rep == 0 else cout
+                mid = c * expand
+                p = f"_blocks.{i}."
+                if expand != 1:
+                    conv(p + "_expand_conv.weight", mid, c, 1)
+                    bn(p + "_bn0", mid)
+                sd[p + "_depthwise_conv.weight"] = rng.normal(
+                    size=(mid, 1, k, k)
+                ).astype(np.float32)
+                bn(p + "_bn1", mid)
+                se = max(1, int(c * 0.25))
+                conv(p + "_se_reduce.weight", se, mid, 1)
+                sd[p + "_se_reduce.bias"] = np.zeros(se, np.float32)
+                conv(p + "_se_expand.weight", mid, se, 1)
+                sd[p + "_se_expand.bias"] = np.zeros(mid, np.float32)
+                conv(p + "_project_conv.weight", cout, mid, 1)
+                bn(p + "_bn2", cout)
+                i += 1
+        head = _round_filters(1280, width)
+        conv("_conv_head.weight", head, _round_filters(320, width), 1)
+        bn("_bn1", head)
+
+        params, stats = convert_efficientnet_state_dict(sd, "efficientnet_b3")
+
+        model = EfficientNet(cnn_name="efficientnet_b3")
+        variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)))
+
+        def check(dst, src, where):
+            for key, val in src.items():
+                assert key in dst, f"{where}/{key} missing"
+                if isinstance(val, dict):
+                    check(dst[key], val, f"{where}/{key}")
+                else:
+                    assert dst[key].shape == val.shape, f"{where}/{key}"
+
+        check(variables["params"], params, "params")
+        check(variables["batch_stats"], stats, "batch_stats")

@@ -169,3 +169,72 @@ class EfficientNet(nn.Module):
         )(x)
         x = nn.silu(norm("head_bn")(x))
         return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-weight conversion (efficientnet_pytorch state_dict naming).
+#
+# The reference loads `EfficientNet.from_pretrained('efficientnet-b0'/'b3')`
+# (reference mv_cnn.py:53-58). Offline conversion mirrors the torchvision
+# ResNet path (models/resnet.py): map the state_dict into this module's
+# variable tree, save with resnet.save_pretrained, and point
+# ``model.modules.MVCNNEncoder.pretrained_path`` at the npz — the Trainer
+# graft (training/trainer.py) is format-generic and needs no dispatch.
+# ---------------------------------------------------------------------------
+
+
+def _assign(tree: dict, path, value):
+    import numpy as np
+
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def convert_efficientnet_state_dict(state_dict: dict, cnn_name: str = "efficientnet_b0"):
+    """efficientnet_pytorch state_dict (numpy values) → (params, batch_stats).
+
+    Key naming follows the lukemelas/EfficientNet-PyTorch layout: stem
+    ``_conv_stem``/``_bn0``, flattened ``_blocks.{i}`` with
+    ``_expand_conv/_bn0, _depthwise_conv/_bn1, _se_reduce, _se_expand,
+    _project_conv/_bn2``, head ``_conv_head``/``_bn1``; the classifier
+    ``_fc`` is dropped (the reference uses extract_features only).
+    """
+    width, depth = _SCALING[cnn_name]
+    params: dict = {}
+    stats: dict = {}
+
+    def put_conv(torch_key: str, path, bias_key: str | None = None):
+        _assign(params, path + ("kernel",), state_dict[torch_key].transpose(2, 3, 1, 0))
+        if bias_key is not None:
+            _assign(params, path + ("bias",), state_dict[bias_key])
+
+    def put_bn(torch_prefix: str, path):
+        _assign(params, path + ("scale",), state_dict[f"{torch_prefix}.weight"])
+        _assign(params, path + ("bias",), state_dict[f"{torch_prefix}.bias"])
+        _assign(stats, path + ("mean",), state_dict[f"{torch_prefix}.running_mean"])
+        _assign(stats, path + ("var",), state_dict[f"{torch_prefix}.running_var"])
+
+    put_conv("_conv_stem.weight", ("stem_conv",))
+    put_bn("_bn0", ("stem_bn",))
+
+    i = 0
+    for stage, (expand, _k, _s, _cin, _cout, repeats) in enumerate(_BASE_BLOCKS):
+        for rep in range(_round_repeats(repeats, depth)):
+            src = f"_blocks.{i}."
+            dst = f"block{stage + 1}_{rep}"
+            if expand != 1:
+                put_conv(src + "_expand_conv.weight", (dst, "expand"))
+                put_bn(src + "_bn0", (dst, "bn_expand"))
+            put_conv(src + "_depthwise_conv.weight", (dst, "depthwise"))
+            put_bn(src + "_bn1", (dst, "bn_depthwise"))
+            put_conv(src + "_se_reduce.weight", (dst, "se_reduce"), src + "_se_reduce.bias")
+            put_conv(src + "_se_expand.weight", (dst, "se_expand"), src + "_se_expand.bias")
+            put_conv(src + "_project_conv.weight", (dst, "project"))
+            put_bn(src + "_bn2", (dst, "bn_project"))
+            i += 1
+
+    put_conv("_conv_head.weight", ("head_conv",))
+    put_bn("_bn1", ("head_bn",))
+    return params, stats
