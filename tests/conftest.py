@@ -20,6 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
@@ -28,3 +29,24 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# Test tiers: the compile-heavy modules (full-model jits, 8-device mesh
+# programs, interpret-mode Pallas) carry the `slow` marker so
+# `pytest -m "not slow"` is a fast cold-start smoke tier (<2 min); the full
+# suite is the default. Markers registered in pyproject.toml.
+_SLOW_MODULES = {
+    "test_e2e_oracle",
+    "test_efficientnet",
+    "test_encoders",
+    "test_fused_bn_pool",
+    "test_ops",
+    "test_parallel",
+    "test_training",
+    "test_tricolo_net",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

@@ -79,7 +79,13 @@ class TestTokenizer:
 
 
 class FakeBackend:
-    """Deterministic stand-in: embeddings are hashes of the input bytes."""
+    """Deterministic stand-in: embeddings are hashes of the input bytes.
+
+    Also asserts the extractor's feed contract (reference
+    extract_clip_feats.py:17-31): images arrive as CLIP-normalized float32
+    pixels from the dataset transform, texts as (77,) int32 BPE token rows —
+    never raw uint8 or raw strings.
+    """
 
     dim = 16
 
@@ -87,22 +93,34 @@ class FakeBackend:
         seed = np.frombuffer(key[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
         return np.random.default_rng(int(seed) % (2**31)).standard_normal(self.dim)
 
-    def encode_image(self, images):
-        return np.stack([self._embed(img.tobytes()[:64]) for img in images]).astype(
+    def encode_image(self, pixels):
+        assert pixels.dtype == np.float32 and pixels.ndim == 4
+        # CLIP normalization maps [0, 255] uint8 well outside [0, 1].
+        assert pixels.min() < -0.5 and pixels.max() < 4.0
+        return np.stack([self._embed(p.tobytes()[:64]) for p in pixels]).astype(
             np.float32
         )
 
-    def encode_text(self, texts):
-        return np.stack([self._embed(t.encode()) for t in texts]).astype(np.float32)
+    def encode_text(self, tokens):
+        assert tokens.dtype == np.int32 and tokens.ndim == 2
+        assert tokens.shape[1] == 77
+        return np.stack([self._embed(t.tobytes()) for t in tokens]).astype(np.float32)
 
 
 class TestExtraction:
+    @staticmethod
+    def _tokenizer(tmp_path):
+        bpe = tmp_path / "bpe.txt.gz"
+        write_tiny_bpe(str(bpe))
+        return ClipTokenizer(str(bpe))
+
     def test_cache_format_and_quirks(self, tmp_path):
         cfg = load_config(["data=synthetic"])
         dataset = build_dataset(cfg, "val")
         backend = FakeBackend()
+        tokenizer = self._tokenizer(tmp_path)
         out = str(tmp_path / "clip_embeddings_val.npz")
-        cache = extract_clip_features(dataset, backend, out)
+        cache = extract_clip_features(dataset, backend, out, tokenizer=tokenizer)
 
         # Every model has normalized img + text entries.
         for model_id, entry in cache.items():
@@ -110,19 +128,23 @@ class TestExtraction:
             assert np.linalg.norm(entry["img"]) == pytest.approx(1.0, rel=1e-5)
             assert np.linalg.norm(entry["text"]) == pytest.approx(1.0, rel=1e-5)
 
-        # img = normalized mean of per-view embeddings.
+        # img = normalized mean of per-view embeddings over the
+        # dataset-transform (CLIP-normalized) pixels.
+        from tricolo_tpu.clip.extract import clip_normalize_images
+
         (cat, mid), vision = next(iter(dataset.vision_data.items()))
-        per_view = backend.encode_image(vision["images"])
+        per_view = backend.encode_image(clip_normalize_images(vision["images"]))
         expect = per_view.mean(axis=0)
         expect /= np.linalg.norm(expect)
         np.testing.assert_allclose(cache[mid]["img"], expect, rtol=1e-5)
 
-        # text = LAST caption's embedding for each model (reference quirk).
+        # text = LAST caption's embedding for each model (reference quirk),
+        # encoded from the in-repo BPE tokens.
         last_caption = {}
         for row in dataset.language_data:
             last_caption[row["model_id"]] = row["text"]
         for mid2, text in last_caption.items():
-            expect_t = backend.encode_text([text])[0]
+            expect_t = backend.encode_text(tokenizer(text)[None, :])[0]
             expect_t /= np.linalg.norm(expect_t)
             np.testing.assert_allclose(cache[mid2]["text"], expect_t, rtol=1e-5)
 

@@ -337,3 +337,39 @@ class TestCheckpointEdgeCases:
         kept = sorted(f for f in os.listdir(tmp_path) if f.endswith(".ckpt"))
         assert kept == ["epoch=0.ckpt", "epoch=1.ckpt", "epoch=2.ckpt"]
         assert mgr.best_path.endswith("epoch=1.ckpt")
+
+
+class TestCheckpointCadence:
+    def test_every_n_epochs_decoupled_from_val_cadence(self, tmp_path):
+        """checkpoint_monitor.every_n_epochs must gate saving independently
+        of check_val_every_n_epoch (reference config.yaml:44 — Lightning
+        saves when (epoch+1) % N == 0 and the monitored metric is fresh)."""
+        import glob
+
+        from tricolo_tpu.config import load_config
+        from tricolo_tpu.data import DataModule
+        from tricolo_tpu.training.trainer import Trainer
+
+        cfg = load_config(
+            [
+                "data=synthetic",
+                "model.text_encoder=CLIPTextEncoder",
+                "model.image_encoder=CLIPImageEncoder",
+                "trainer.max_epochs=4",
+                "trainer.check_val_every_n_epoch=1",
+                "trainer.log_every_n_steps=1",
+                "trainer.profiler=none",
+                "checkpoint_monitor.every_n_epochs=4",
+                f"project_root_path={tmp_path}",
+                "experiment_name=cadence",
+            ]
+        )
+        trainer = Trainer(cfg)
+        _, manager = trainer.fit(DataModule(cfg))
+        saved = sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(cfg.checkpoint_monitor.dirpath, "*.ckpt"))
+        )
+        # Validation ran at epochs 0-3, but only epoch 3 satisfies
+        # (epoch+1) % 4 == 0 (the final-epoch fallback coincides with it).
+        assert saved == ["epoch=3.ckpt"], saved

@@ -4,29 +4,33 @@ Why this exists: the voxel encoder's five [Conv3D → BN → ReLU → MaxPool(2)
 blocks (reference tricolo/model/module/voxel_encoder/sparse_cnn.py:11-44,
 rebuilt densely in models/voxel_cnn.py) dominate the train-step backward.
 XLA lowers the composed backward as select_and_scatter (maxpool) + separate
-BN backward, costing ~6 full passes over the (B, 64³, C) activation for
-block 1 alone (~24 ms of a 104 ms step on v5e, PERF.md). The information
-actually needed is small: per-channel sums for the BN parameter grads and a
-per-window argmax route for the pooled gradient — both recomputable from the
-conv output `y` on the fly.
+BN backward — ~6 full passes over the (B, 64³, C) activation for block 1
+alone (~24 ms of a 104 ms step on v5e, PERF.md).
 
-Dataflow (all bandwidth-optimal, nothing of activation size is ever saved
-besides `y`, which the conv produced anyway):
+Key algorithmic choice: the forward saves the per-window **argmax** (as a
+bf16 scan-order index) and the normalized value ẑ at that site, both at
+pooled (⅛) resolution. The backward then needs NO activation recompute and
+no compare cascade:
 
-  forward:   stats  = XLA reduce over y                       (1 read)
-             pooled = Pallas: normalize→relu→window-max        (1 read, ⅛ write)
-  backward:  K1 = Pallas: recompute a, route g, per-channel
-                  Σdz (=dβ) and Σdz·ẑ (=dγ)                    (1 read + ⅛ read)
-             K2 = Pallas: recompute route again, emit
-                  dy = A·dz + B + C·ẑ                          (1 read + ⅛ read, 1 write)
+  dβ = Σ_{m>0} g               — pooled-resolution XLA reduction (~1 ms)
+  dγ = Σ_{m>0} g·ẑ_argmax      — ditto
+  dy = route(A·g·[m>0]) + B + C·ẑ   — ONE full-resolution Pallas pass:
+       per window member r just (idx == r)·gA + B + C·(y·inv − sub),
+       ≈6 bf16 ops/element, bandwidth-bound.
 
-The 2³ window never needs strided sublane access (which Mosaic lowers to
-unsupported gathers — PERF.md "Mosaic probes"): the W-axis pair lives in the
-*lane* dimension via the free XLA reshape (…, W, C) → (…, W/2, 2C) (row-major
-identity), so pairing is a static lane slice [:, :C] / [:, C:]; the D/H pairs
-live on untiled outer block dims. Gradient routing matches XLA's
-select_and_scatter / torch's MaxPool exactly: the *first* maximum in window
-scan order (dd, hh, ww) receives the gradient.
+Layout: all 2³-window pairing happens in *free* XLA reshapes outside — y is
+viewed as (B, D/2, 2, H/2, 2, W/2, 2C) (a row-major identity), so the kernel
+only does static indexing on untiled outer dims (y[:, dd, :, hh]) and static
+lane slices ([..., :C] / [..., C:]); no dynamic indexing, no strided sublane
+access (which Mosaic lowers to unsupported gathers — PERF.md "Mosaic
+probes"). Mosaic has no bf16 vector compare on v5e, so compares run on the
+int16 bit patterns — exact for the non-negative relu outputs (IEEE ordering
+of non-negatives == integer ordering of their bits).
+
+Gradient routing matches XLA's select_and_scatter / torch's MaxPool exactly:
+the *first* maximum in window scan order r = dd·4 + hh·2 + ww receives the
+gradient (strictly-greater updates keep the earliest max), zeroed when the
+max is the relu-clamped zero.
 
 Numerics: statistics in f32; normalization as a = relu(y·mul + add) with
 per-channel mul = γ·rsqrt(var+ε), add = β − mean·mul folded on host (same
@@ -52,9 +56,7 @@ def _check_shapes(y, scale, bias):
     if D % 2 or H % 2 or W % 2:
         raise ValueError(f"spatial dims must be even for 2^3 pooling, got {y.shape}")
     if scale.shape != (C,) or bias.shape != (C,):
-        raise ValueError(
-            f"scale/bias must be ({C},), got {scale.shape}/{bias.shape}"
-        )
+        raise ValueError(f"scale/bias must be ({C},), got {scale.shape}/{bias.shape}")
     return B, D, H, W, C
 
 
@@ -65,119 +67,98 @@ def _block_d_pairs(D: int, requested: int) -> int:
     return bd
 
 
-def _tile2(v):
-    """Per-channel (C,) vector → (1, 2C) lane-tiled row matching the
-    (…, W/2, 2C) view, whose lanes are [even-w channels | odd-w channels]."""
-    return jnp.concatenate([v, v])[None, :]
+def _fold(W: int, C: int) -> int:
+    """W-elements folded into the lane dim. 128 lanes per vreg: folding
+    F = 2·max(1, 64/C) w-positions gives F·C ≥ 128 lanes (measured 3×
+    bandwidth vs the half-empty 2C=64 layout at C=32); capped at W."""
+    F = 2 * max(1, 64 // C)
+    while W % F or F > W:
+        F //= 2
+    return max(F, 2)
+
+
+def _tileF(v, F: int):
+    """Per-channel (C,) vector → (1, F·C) row matching the folded lane view
+    (lanes are [w0 channels | w1 channels | … | w_{F-1} channels])."""
+    return jnp.concatenate([v] * F)[None, :]
 
 
 # ---------------------------------------------------------------------------
-# Kernels. Grid (B, D/2/bd); y viewed (B, D, H, W/2, 2C); g/out pooled
-# (B, D/2, H/2, W/2, C). Each grid step loops over the bd·H/2 window cells of
-# its block; the 8 window members of a cell are the lane halves of 4 rows.
+# Kernels. Grid (B, (D/2)/bd); y/dy blocks (bd, 2, H/2, 2, W/2, 2C);
+# pooled-resolution blocks (bd, H/2, W/2, C); params resident (rows, 2C).
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(y_ref, params_ref, out_ref, *, bd: int, C: int):
-    H2 = out_ref.shape[2]
-    mul2 = params_ref[0:1, :]
-    add2 = params_ref[1:2, :]
+def _fwd_kernel(y_ref, params_ref, m_ref, idx_ref, *, C: int):
+    """Normalize → relu → window max, tracking the first-argmax index.
 
-    def cell(idx, _):
-        dp, h2 = idx // H2, idx % H2
-        m = None
-        for dd in range(2):
-            for hh in range(2):
-                row = y_ref[0, 2 * dp + dd, 2 * h2 + hh]  # (W2, 2C)
-                a = jnp.maximum(row * mul2 + add2, 0.0)
-                m = a if m is None else jnp.maximum(m, a)
-        out_ref[0, dp, h2] = jnp.maximum(m[:, :C], m[:, C:])
-        return 0
-
-    jax.lax.fori_loop(0, bd * H2, cell, 0, unroll=False)
-
-
-def _window(y_ref, params_ref, g_ref, dp, h2, C):
-    """Recompute the 8 window activations and the routed gradient.
-
-    Returns (dz, zhat): two length-8 lists of (W2, C) arrays in window scan
-    order r = dd·4 + hh·2 + ww; dz_r is g routed to the first max.
+    The activation is computed in the input dtype (identical rounding to the
+    XLA twin); the compare/select cascade runs widened to f32 — Mosaic on
+    v5e supports neither bf16 nor int16 vector compares, and mixing a
+    f32-born i1 mask into bf16 selects trips an invalid-relayout error — so
+    everything the mask touches stays f32 until the final store.
     """
-    mul2 = params_ref[0:1, :]
-    add2 = params_ref[1:2, :]
-    inv = params_ref[2:3, :C]
-    sub = params_ref[3:4, :C]
+    mulF = params_ref[0:1, :]
+    addF = params_ref[1:2, :]
+    pools = params_ref.shape[1] // (2 * C)
 
-    halves = []  # (a_r, zhat_r) in scan order; a in f32 for the compares
+    m = [None] * pools
+    idx = [None] * pools
     for dd in range(2):
         for hh in range(2):
-            row = y_ref[0, 2 * dp + dd, 2 * h2 + hh]  # (W2, 2C)
-            # Activation recomputed in the forward's dtype (identical
-            # rounding → identical max selection), then widened: Mosaic has
-            # no bf16 vector compare on v5e, and bf16→f32 is exact.
-            a = jnp.maximum(row * mul2 + add2, 0.0).astype(jnp.float32)
-            for sl in (slice(0, C), slice(C, 2 * C)):
-                halves.append((a[:, sl], row[:, sl] * inv - sub))
-
-    m = functools.reduce(jnp.maximum, [a for a, _ in halves])
-    g_cell = g_ref[0, dp, h2]  # (W2, C)
-
-    dz, zhat, taken = [], [], None
-    for a, z in halves:
-        hit = a == m if taken is None else jnp.logical_and(a == m, ~taken)
-        taken = hit if taken is None else jnp.logical_or(taken, hit)
-        # Pool routes to the first max of a = relu(a_pre); relu' then kills
-        # the gradient when that max is the clamped zero (a_pre <= 0).
-        live = jnp.logical_and(hit, a > 0)
-        dz.append(jnp.where(live, g_cell, jnp.zeros_like(g_cell)))
-        zhat.append(z)
-    return dz, zhat
+            x = y_ref[:, dd, :, hh]  # (bd, H2, PW, F·C)
+            a_full = jnp.maximum(x * mulF + addF, 0.0)
+            for p in range(pools):
+                for ww in range(2):
+                    r = dd * 4 + hh * 2 + ww
+                    lo = (2 * p + ww) * C
+                    a = a_full[..., lo : lo + C].astype(jnp.float32)
+                    tag = jnp.full(a.shape, float(r), jnp.float32)
+                    if m[p] is None:
+                        m[p], idx[p] = a, tag
+                    else:
+                        better = a > m[p]  # strict > keeps the first max
+                        m[p] = jnp.where(better, a, m[p])
+                        idx[p] = jnp.where(better, tag, idx[p])
+    m_ref[...] = jnp.concatenate(m, axis=-1).astype(m_ref.dtype)
+    idx_ref[...] = jnp.concatenate(idx, axis=-1).astype(idx_ref.dtype)
 
 
-def _partials_kernel(y_ref, g_ref, params_ref, sums_ref, *, bd: int, C: int):
-    H2 = g_ref.shape[2]
+def _dy_kernel(y_ref, ga_ref, idx_ref, params_ref, dy_ref, *, C: int):
+    """dy = (idx == r)·gA + B + C·ẑ per window member — one pass over y."""
+    invF = params_ref[2:3, :]
+    subF = params_ref[3:4, :]
+    # Bc is pre-folded into ga on the host (ga' = A·g·[m>0] + Bc at pooled
+    # resolution costs nothing there); the kernel computes
+    # dy = select(idx==r, ga', Bc) + Cc·ẑ entirely in the input dtype —
+    # only the pooled-resolution routing mask is widened to f32 (no bf16
+    # vector compare on v5e).
+    BcN = params_ref[4:5, :C]
+    CcN = params_ref[5:6, :C]
+    pools = params_ref.shape[1] // (2 * C)
 
-    def cell(idx, acc):
-        dp, h2 = idx // H2, idx % H2
-        dz, zhat = _window(y_ref, params_ref, g_ref, dp, h2, C)
-        sdz = sum(jnp.sum(d.astype(jnp.float32), axis=0) for d in dz)
-        sdzz = sum(
-            jnp.sum(d.astype(jnp.float32) * z.astype(jnp.float32), axis=0)
-            for d, z in zip(dz, zhat)
-        )
-        return acc + jnp.stack([sdz, sdzz])
+    ga = ga_ref[...]  # A·g·[m>0] + Bc, pooled resolution, input dtype
+    idx = idx_ref[...].astype(jnp.float32)
 
-    local = jax.lax.fori_loop(
-        0, bd * H2, cell, jnp.zeros((2, C), jnp.float32), unroll=False
-    )
-
-    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
-    def _():
-        sums_ref[...] = jnp.zeros_like(sums_ref)
-
-    sums_ref[...] += local
-
-
-def _dy_kernel(y_ref, g_ref, params_ref, dy_ref, *, bd: int, C: int):
-    H2 = g_ref.shape[2]
-    A = params_ref[4:5, :C]
-    Bc = params_ref[5:6, :C]
-    Cc = params_ref[6:7, :C]
-
-    def cell(idx, _):
-        dp, h2 = idx // H2, idx % H2
-        dz, zhat = _window(y_ref, params_ref, g_ref, dp, h2, C)
-        for dd in range(2):
-            for hh in range(2):
-                r = dd * 4 + hh * 2
-                even = A * dz[r] + Bc + Cc * zhat[r]
-                odd = A * dz[r + 1] + Bc + Cc * zhat[r + 1]
-                dy_ref[0, 2 * dp + dd, 2 * h2 + hh] = jnp.concatenate(
-                    [even, odd], axis=-1
-                ).astype(dy_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, bd * H2, cell, 0, unroll=False)
+    for dd in range(2):
+        for hh in range(2):
+            x = y_ref[:, dd, :, hh]
+            z_full = x * invF - subF
+            parts = []
+            for p in range(pools):
+                ga_p = ga[..., p * C : (p + 1) * C]
+                idx_p = idx[..., p * C : (p + 1) * C]
+                for ww in range(2):
+                    r = dd * 4 + hh * 2 + ww
+                    lo = (2 * p + ww) * C
+                    tag = jnp.full(idx_p.shape, float(r), jnp.float32)
+                    base = jnp.where(
+                        idx_p == tag, ga_p.astype(jnp.float32), BcN.astype(jnp.float32)
+                    ).astype(ga_p.dtype)
+                    parts.append(base + CcN * z_full[..., lo : lo + C])
+            dy_ref[:, dd, :, hh] = jnp.concatenate(parts, axis=-1).astype(
+                dy_ref.dtype
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -191,54 +172,55 @@ def _use_interpret(interpret):
     return interpret
 
 
-def _specs(B, D, H, W2, C2, C, bd):
+def _specs(B, D, H, PW, CF, CP, bd):
+    """Block specs for the folded views: y (B, D/2, 2, H/2, 2, PW, CF) with
+    CF = F·C lanes, pooled (B, D/2, H/2, PW, CP) with CP = (F/2)·C lanes."""
+    H2 = H // 2
     y_spec = pl.BlockSpec(
-        (1, 2 * bd, H, W2, C2),
-        lambda b, d: (b, d, 0, 0, 0),
+        (None, bd, 2, H2, 2, PW, CF),
+        lambda b, d: (b, d, 0, 0, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     pooled_spec = pl.BlockSpec(
-        (1, bd, H // 2, W2, C), lambda b, d: (b, d, 0, 0, 0), memory_space=pltpu.VMEM
+        (None, bd, H2, PW, CP), lambda b, d: (b, d, 0, 0, 0), memory_space=pltpu.VMEM
     )
     params_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid = (B, D // 2 // bd)
     return grid, y_spec, pooled_spec, params_spec
 
 
-def _pallas_forward(y4, params, B, D, H, W2, C2, C, bd, interpret):
-    grid, y_spec, pooled_spec, params_spec = _specs(B, D, H, W2, C2, C, bd)
+def _pallas_forward(y7, params, B, D, H, PW, CF, C, bd, interpret):
+    grid, y_spec, pooled_spec, params_spec = _specs(
+        B, D, H, PW, CF, CF // 2, bd
+    )
+    pooled = jax.ShapeDtypeStruct((B, D // 2, H // 2, PW, CF // 2), y7.dtype)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, bd=bd, C=C),
+        functools.partial(_fwd_kernel, C=C),
         grid=grid,
         in_specs=[y_spec, params_spec],
-        out_specs=pooled_spec,
-        out_shape=jax.ShapeDtypeStruct((B, D // 2, H // 2, W2, C), y4.dtype),
+        out_specs=(pooled_spec, pooled_spec),
+        out_shape=(pooled, pooled),
         interpret=interpret,
-    )(y4, params)
+    )(y7, params)
 
 
-def _pallas_partials(y4, g, params, B, D, H, W2, C2, C, bd, interpret):
-    grid, y_spec, pooled_spec, params_spec = _specs(B, D, H, W2, C2, C, bd)
+def _pallas_dy(y7, ga, idx, params, B, D, H, PW, CF, C, bd, interpret):
+    grid, y_spec, pooled_spec, params_spec = _specs(
+        B, D, H, PW, CF, CF // 2, bd
+    )
     return pl.pallas_call(
-        functools.partial(_partials_kernel, bd=bd, C=C),
+        functools.partial(_dy_kernel, C=C),
         grid=grid,
-        in_specs=[y_spec, pooled_spec, params_spec],
-        out_specs=pl.BlockSpec((2, C), lambda b, d: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, C), jnp.float32),
-        interpret=interpret,
-    )(y4, g, params)
-
-
-def _pallas_dy(y4, g, params, B, D, H, W2, C2, C, bd, interpret):
-    grid, y_spec, pooled_spec, params_spec = _specs(B, D, H, W2, C2, C, bd)
-    return pl.pallas_call(
-        functools.partial(_dy_kernel, bd=bd, C=C),
-        grid=grid,
-        in_specs=[y_spec, pooled_spec, params_spec],
+        in_specs=[y_spec, pooled_spec, pooled_spec, params_spec],
         out_specs=y_spec,
-        out_shape=jax.ShapeDtypeStruct((B, D, H, W2, C2), y4.dtype),
+        out_shape=jax.ShapeDtypeStruct(y7.shape, y7.dtype),
+        # dy may overwrite y in place: y's only consumer is this op (the
+        # conv backward needs the conv *input* and dy, never y), and the
+        # aliased round-trip doubles effective HBM bandwidth (measured).
+        # XLA inserts a copy automatically if y is in fact still live.
+        input_output_aliases={0: 0},
         interpret=interpret,
-    )(y4, g, params)
+    )(y7, ga, idx, params)
 
 
 # ---------------------------------------------------------------------------
@@ -263,6 +245,23 @@ def _muladd(mean, invstd, scale, bias, dtype):
     return mul, add
 
 
+def _norm_params(mean, invstd, scale, bias, dtype, F):
+    mul, add = _muladd(mean, invstd, scale, bias, dtype)
+    inv = invstd.astype(dtype)
+    sub = (mean * invstd).astype(dtype)
+    return jnp.concatenate(
+        [_tileF(mul, F), _tileF(add, F), _tileF(inv, F), _tileF(sub, F)], axis=0
+    )
+
+
+def _views(y, B, D, H, W, C):
+    """Free reshapes to the folded kernel layouts."""
+    F = _fold(W, C)
+    PW = W // F
+    y7 = y.reshape(B, D // 2, 2, H // 2, 2, PW, F * C)
+    return F, PW, y7
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_bn_relu_pool(y, scale, bias, eps=1e-5, block_d_pairs=2, interpret=None):
     """BatchNorm(train stats) → ReLU → MaxPool(2,2,2) in one fused op.
@@ -270,8 +269,9 @@ def fused_bn_relu_pool(y, scale, bias, eps=1e-5, block_d_pairs=2, interpret=None
     y: (B, D, H, W, C); scale/bias: (C,). Returns (pooled, mean, var) with
     pooled (B, D/2, H/2, W/2, C) in y.dtype and mean/var (C,) f32 batch
     statistics (for running-average updates). Differentiable in y, scale,
-    bias — the VJP runs two bandwidth-optimal Pallas passes and matches the
-    XLA composition's gradients (first-max pool routing) exactly.
+    bias — the VJP is one bandwidth-optimal Pallas pass (plus tiny
+    pooled-resolution XLA reductions) and matches the XLA composition's
+    gradients (first-max pool routing) exactly.
     """
     out, _ = _fwd(y, scale, bias, eps, block_d_pairs, interpret)
     return out
@@ -279,61 +279,67 @@ def fused_bn_relu_pool(y, scale, bias, eps=1e-5, block_d_pairs=2, interpret=None
 
 def _fwd(y, scale, bias, eps, block_d_pairs, interpret):
     B, D, H, W, C = _check_shapes(y, scale, bias)
-    bd = _block_d_pairs(D, block_d_pairs)
+    # The forward has small outputs, so twice the backward's block depth
+    # still fits VMEM (the backward's full-size dy blocks do not, measured).
+    bd = _block_d_pairs(D, 2 * block_d_pairs)
     interpret = _use_interpret(interpret)
     mean, var, invstd = _stats(y, eps)
-    mul, add = _muladd(mean, invstd, scale, bias, y.dtype)
-    params = jnp.concatenate([_tile2(mul), _tile2(add)], axis=0)
-    y4 = y.reshape(B, D, H, W // 2, 2 * C)
-    pooled = _pallas_forward(y4, params, B, D, H, W // 2, 2 * C, C, bd, interpret)
-    residuals = (y, scale, bias, mean, invstd)
-    return (pooled, mean, var), residuals
+    F, PW, y7 = _views(y, B, D, H, W, C)
+    params = _norm_params(mean, invstd, scale, bias, y.dtype, F)
+    pooled_f, idx_f = _pallas_forward(
+        y7, params, B, D, H, PW, F * C, C, bd, interpret
+    )
+    pooled = pooled_f.reshape(B, D // 2, H // 2, W // 2, C)
+    residuals = (y, pooled, idx_f, scale, bias, mean, invstd)
+    return ((pooled, mean, var), residuals)
 
 
 def _bwd(eps, block_d_pairs, interpret, residuals, cts):
     g_out, g_mean, g_var = cts
-    y, scale, bias, mean, invstd = residuals
+    y, pooled, idx_f, scale, bias, mean, invstd = residuals
     B, D, H, W, C = y.shape
     bd = _block_d_pairs(D, block_d_pairs)
     interpret = _use_interpret(interpret)
     n = float(B * D * H * W)
 
-    mul, add = _muladd(mean, invstd, scale, bias, y.dtype)
-    inv = invstd.astype(y.dtype)
-    sub = (mean * invstd).astype(y.dtype)
-    y4 = y.reshape(B, D, H, W // 2, 2 * C)
+    # BN parameter grads from the pooled-resolution argmax record: dz is
+    # nonzero only at each window's first max, where relu' = [pooled > 0]
+    # and — since pooled m = γ·ẑ + β there — ẑ = (m − β)/γ, recovered
+    # without any full-resolution pass. γ == 0 would make ẑ unrecoverable
+    # (and every dz-dependent grad 0·something anyway); guarded to 0.
+    live = (pooled > 0).astype(jnp.float32)
+    g32 = g_out.astype(jnp.float32) * live
+    scale32 = scale.astype(jnp.float32)
+    safe = jnp.where(scale32 == 0.0, 1.0, scale32)
+    zmax = (pooled.astype(jnp.float32) - bias.astype(jnp.float32)) / safe
+    zmax = jnp.where(scale32 == 0.0, 0.0, zmax)
+    dbeta = jnp.sum(g32, axis=(0, 1, 2, 3))
+    dgamma = jnp.sum(g32 * zmax, axis=(0, 1, 2, 3))
 
-    # Pass 1: per-channel Σdz and Σdz·ẑ (routed through relu+pool).
-    k1_params = jnp.concatenate(
-        [_tile2(mul), _tile2(add), _tile2(inv), _tile2(sub)], axis=0
-    )
-    sums = _pallas_partials(
-        y4, g_out, k1_params, B, D, H, W // 2, 2 * C, C, bd, interpret
-    )
-    dbeta, dgamma = sums[0], sums[1]  # f32 (C,)
-
-    # Pass 2: dy = A·dz + B + C·ẑ. A/B/C fold the BN backward through the
+    # dy = route(A·g·[m>0]) + B + C·ẑ. B/C fold the BN backward through the
     # batch statistics plus any cotangents on the mean/var outputs (zero in
     # training use — running-stat updates aren't differentiated — but kept
     # exact for generality).
-    scale32 = scale.astype(jnp.float32)
     A32 = scale32 * invstd
     B32 = -A32 * dbeta / n + g_mean / n
     C32 = -A32 * dgamma / n + 2.0 * g_var / (n * invstd)
-    k2_params = jnp.concatenate(
+
+    F, PW, y7 = _views(y, B, D, H, W, C)
+    CP = (F // 2) * C
+    # Bc pre-added here so the kernel's select covers routed vs non-routed
+    # sites in one op (see _dy_kernel).
+    ga = (g32 * A32 + B32).astype(y.dtype).reshape(B, D // 2, H // 2, PW, CP)
+    params = jnp.concatenate(
         [
-            _tile2(mul),
-            _tile2(add),
-            _tile2(inv),
-            _tile2(sub),
-            _tile2(A32.astype(y.dtype)),
-            _tile2(B32.astype(y.dtype)),
-            _tile2(C32.astype(y.dtype)),
+            _norm_params(mean, invstd, scale, bias, y.dtype, F),
+            _tileF(B32.astype(y.dtype), F),
+            _tileF(C32.astype(y.dtype), F),
         ],
         axis=0,
     )
-    dy4 = _pallas_dy(y4, g_out, k2_params, B, D, H, W // 2, 2 * C, C, bd, interpret)
-    dy = dy4.reshape(B, D, H, W, C)
+    idx7 = idx_f  # already in the folded pooled layout
+    dy7 = _pallas_dy(y7, ga, idx7, params, B, D, H, PW, F * C, C, bd, interpret)
+    dy = dy7.reshape(B, D, H, W, C)
     return dy, dgamma.astype(scale.dtype), dbeta.astype(bias.dtype)
 
 

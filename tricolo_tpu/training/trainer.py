@@ -232,9 +232,18 @@ class Trainer:
                 )
                 self._timers["validate"] += time.perf_counter() - tic
 
-                tic = time.perf_counter()
-                manager.save(state, epoch, summary)
-                self._timers["checkpoint"] += time.perf_counter() - tic
+                # Checkpoint cadence is its own knob (reference
+                # config.yaml:44 every_n_epochs, Lightning semantics: save at
+                # epochs where (epoch+1) % N == 0 *and* the monitored metric
+                # is fresh, i.e. validation just ran). It interpolates to the
+                # val cadence by default, but an explicit override must win.
+                ckpt_every = self.cfg.checkpoint_monitor.get(
+                    "every_n_epochs", val_every
+                )
+                if (epoch + 1) % ckpt_every == 0 or epoch == cfg.trainer.max_epochs - 1:
+                    tic = time.perf_counter()
+                    manager.save(state, epoch, summary)
+                    self._timers["checkpoint"] += time.perf_counter() - tic
 
         return state
 
