@@ -168,3 +168,70 @@ class TestModuleIntegration:
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(a, b, atol=3e-5), gp, gf
         )
+
+
+class TestMaskedBN:
+    """Submanifold-faithful masked-BN variant (spconv semantics twin)."""
+
+    def test_all_ones_mask_matches_plain(self):
+        rng = np.random.default_rng(7)
+        y = _rand(rng, (2, 4, 4, 4, 8))
+        scale = _rand(rng, (8,)) * 0.2 + 1.0
+        bias = _rand(rng, (8,)) * 0.2
+        from tricolo_tpu.ops.fused_bn_pool import masked_bn_relu_pool
+
+        mask = jnp.ones((2, 4, 4, 4, 1))
+        pm, mm, vm, _ = masked_bn_relu_pool(y, scale, bias, mask)
+        pr, mr, vr = reference_bn_relu_pool(y, scale, bias)
+        np.testing.assert_allclose(mm, mr, atol=1e-6)
+        np.testing.assert_allclose(vm, vr, atol=1e-6)
+        np.testing.assert_allclose(pm, pr, atol=1e-6)
+
+    def test_stats_over_active_sites_and_zeroed_inactive(self):
+        rng = np.random.default_rng(8)
+        y = _rand(rng, (1, 2, 2, 2, 4))
+        mask_np = np.zeros((1, 2, 2, 2, 1), np.float32)
+        mask_np[0, 0, 0, 0, 0] = 1.0
+        mask_np[0, 1, 1, 1, 0] = 1.0
+        mask = jnp.asarray(mask_np)
+        scale, bias = jnp.ones(4), jnp.full((4,), 10.0)  # big bias: inactive
+        # sites would dominate the pool if not zeroed.
+        from tricolo_tpu.ops.fused_bn_pool import masked_bn_relu_pool
+
+        pooled, mean, var, pmask = masked_bn_relu_pool(y, scale, bias, mask)
+        active = np.asarray(y)[mask_np[..., 0] > 0]  # (2, 4)
+        np.testing.assert_allclose(mean, active.mean(axis=0), atol=1e-6)
+        np.testing.assert_allclose(var, active.var(axis=0), atol=1e-5)
+        # One 2^3 window with 2 active sites -> pooled = max over the two
+        # normalized actives; inactive contribute exactly nothing.
+        inv = 1.0 / np.sqrt(np.asarray(var) + 1e-5)
+        a = np.maximum((active - np.asarray(mean)) * inv + 10.0, 0.0)
+        np.testing.assert_allclose(np.asarray(pooled)[0, 0, 0, 0], a.max(axis=0), atol=1e-5)
+        assert float(pmask[0, 0, 0, 0, 0]) == 1.0
+
+    def test_encoder_masked_bn_flag(self):
+        from tricolo_tpu.models.voxel_cnn import VoxelCNNEncoder
+
+        rng = np.random.default_rng(9)
+        vox = np.zeros((2, 32, 32, 32, 3), np.float32)
+        occ = rng.random((2, 32, 32, 32)) < 0.05
+        vox[occ] = rng.random((occ.sum(), 3)).astype(np.float32)
+        x = jnp.asarray(vox)
+        enc = VoxelCNNEncoder(voxel_size=32, ef_dim=4, z_dim=16, out_dim=16,
+                              masked_bn=True, fused_bn_pool=False)
+        variables = enc.init(jax.random.PRNGKey(0), x)
+        out, updates = enc.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        assert out.shape == (2, 16)
+        assert np.isfinite(np.asarray(out)).all()
+        # Masked statistics differ from the dense-BN ones (zeros dominate
+        # the dense mean) — the flag must actually change the computation.
+        enc_d = VoxelCNNEncoder(voxel_size=32, ef_dim=4, z_dim=16, out_dim=16,
+                                masked_bn=False, fused_bn_pool=False)
+        _, updates_d = enc_d.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        m = updates["batch_stats"]["ConvBlock_0"]["BatchNorm_0"]["mean"]
+        md = updates_d["batch_stats"]["ConvBlock_0"]["BatchNorm_0"]["mean"]
+        assert not np.allclose(np.asarray(m), np.asarray(md), atol=1e-4)

@@ -101,6 +101,11 @@ def default_config() -> ConfigNode:
                         # "auto": fused Pallas BN/ReLU/pool kernel on TPU,
                         # plain XLA elsewhere; true/false forces it.
                         "fused_bn_pool": "auto",
+                        # Submanifold-faithful BN (spconv semantics):
+                        # statistics over occupied sites, inactive zeroed.
+                        # Off by default — see PARITY.md for the measured
+                        # delta behind the choice.
+                        "masked_bn": False,
                     },
                     "clip_model": "ViT-L/14",
                     "clip_feature_dim": 768,

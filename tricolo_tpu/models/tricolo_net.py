@@ -53,6 +53,7 @@ class TriCoLoNet(nn.Module):
     voxel_size: int = 64
     ef_dim: int = 32
     voxel_fused_bn_pool: bool | None = None
+    voxel_masked_bn: bool = False
     # CLIP heads
     clip_feature_dim: int = 768
     clip_dropout: float = 0.1
@@ -87,6 +88,7 @@ class TriCoLoNet(nn.Module):
             voxel_fused_bn_pool={"auto": None, True: True, False: False}[
                 modules.VoxelCNNEncoder.get("fused_bn_pool", "auto")
             ],
+            voxel_masked_bn=bool(modules.VoxelCNNEncoder.get("masked_bn", False)),
             clip_feature_dim=modules.clip_feature_dim,
             clip_dropout=modules.CLIPTextEncoder.dropout,
             dtype=dtype,
@@ -133,7 +135,8 @@ class TriCoLoNet(nn.Module):
                 voxel_size=self.voxel_size, ef_dim=self.ef_dim, z_dim=self.z_dim,
                 out_dim=self.out_dim, dtype=self.dtype,
                 param_dtype=self.param_dtype or jax.numpy.float32,
-                fused_bn_pool=self.voxel_fused_bn_pool, name="voxel_encoder",
+                fused_bn_pool=self.voxel_fused_bn_pool,
+                masked_bn=self.voxel_masked_bn, name="voxel_encoder",
             )(batch["voxels"], train=train, deterministic=deterministic)
         elif self.voxel_encoder is not None:
             raise ValueError(f"unknown voxel encoder: {self.voxel_encoder}")

@@ -38,6 +38,8 @@ from flax import linen as nn
 from ..ops.fused_bn_pool import (
     fused_bn_relu_pool,
     inference_bn_relu_pool,
+    masked_bn_relu_pool,
+    masked_inference_bn_relu_pool,
     reference_bn_relu_pool,
 )
 from .common import MLPHead, l2_normalize, torch_conv_kernel_init
@@ -49,10 +51,11 @@ class BNReLUPool(nn.Module):
     Owns flax-BatchNorm-compatible variables (params scale/bias, batch_stats
     mean/var) so fused vs plain is a pure compute-path toggle over one
     parameter tree. In train mode the fused custom-VJP op (ops/fused_bn_pool)
-    computes batch statistics, activation and pooling in two bandwidth-
-    optimal Pallas passes backward instead of XLA's select_and_scatter + BN
-    backward chain; `use_fused=None` auto-enables it on TPU backends only
-    (elsewhere the identical-formula XLA twin runs). Normalization is
+    computes batch statistics, activation and pooling with an argmax-saving
+    Pallas forward and a one-pass routed backward. It beats the standalone
+    XLA composition but *loses to XLA's cross-op fusions in the full train
+    program* (PERF.md), so `use_fused=None` resolves to the XLA twin and the
+    kernel stays opt-in (`use_fused=True`). Normalization is
     y·mul + add with per-channel folded constants — same math as flax
     BatchNorm within one rounding.
     """
@@ -64,7 +67,13 @@ class BNReLUPool(nn.Module):
     use_fused: bool | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        train: bool = False,
+        mask: jax.Array | None = None,
+    ):
         features = x.shape[-1]
         scale = self.param(
             "scale", nn.initializers.ones_init(), (features,), self.param_dtype
@@ -79,12 +88,26 @@ class BNReLUPool(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
         )
 
+        out_mask = None
         if train:
-            fused = self.use_fused
-            if fused is None:
-                fused = jax.default_backend() == "tpu"
-            op = fused_bn_relu_pool if fused else reference_bn_relu_pool
-            pooled, mean, var = op(x, scale, bias, self.epsilon)
+            if mask is not None:
+                # Submanifold-faithful mode: statistics over occupied sites
+                # only, inactive sites hard-zeroed (PARITY experiment; see
+                # ops.masked_bn_relu_pool).
+                pooled, mean, var, out_mask = masked_bn_relu_pool(
+                    x, scale, bias, mask, self.epsilon
+                )
+            else:
+                # Auto (None) resolves to the XLA path: in the FULL train
+                # program XLA's cross-op fusions (BN-backward folded into
+                # conv grads, normalize/relu into producers) beat the
+                # hand-fused Pallas kernels end-to-end — 1226 vs ~1095
+                # pairs/s on v5e even when only the dominant 64³ block is
+                # fused (PERF.md "Fused BN-ReLU-pool Pallas kernels").
+                # use_fused=True keeps the kernel path available.
+                fused = bool(self.use_fused)
+                op = fused_bn_relu_pool if fused else reference_bn_relu_pool
+                pooled, mean, var = op(x, scale, bias, self.epsilon)
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
@@ -92,10 +115,16 @@ class BNReLUPool(nn.Module):
                 ra_var.value = (
                     self.momentum * ra_var.value + (1.0 - self.momentum) * var
                 )
+        elif mask is not None:
+            pooled, out_mask = masked_inference_bn_relu_pool(
+                x, scale, bias, ra_mean.value, ra_var.value, mask, self.epsilon
+            )
         else:
             pooled = inference_bn_relu_pool(
                 x, scale, bias, ra_mean.value, ra_var.value, self.epsilon
             )
+        if mask is not None:
+            return pooled, out_mask
         return pooled
 
 
@@ -108,7 +137,13 @@ class ConvBlock(nn.Module):
     fused_bn_pool: bool | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        train: bool = False,
+        mask: jax.Array | None = None,
+    ):
         x = nn.Conv(
             self.features,
             kernel_size=(3, 3, 3),
@@ -123,15 +158,14 @@ class ConvBlock(nn.Module):
         # v5e (measured); statistics always accumulate in f32. The module
         # keeps the flax BatchNorm variable layout ("BatchNorm_0" with
         # scale/bias/mean/var) for checkpoint compatibility.
-        x = BNReLUPool(
+        return BNReLUPool(
             momentum=0.9,  # torch BatchNorm default momentum=0.1
             epsilon=1e-5,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             use_fused=self.fused_bn_pool,
             name="BatchNorm_0",
-        )(x, train=train)
-        return x
+        )(x, train=train, mask=mask)
 
 
 class VoxelCNNEncoder(nn.Module):
@@ -143,8 +177,14 @@ class VoxelCNNEncoder(nn.Module):
     out_dim: int = 512
     dtype: Any = None
     param_dtype: Any = jnp.float32
-    # None = auto: fused Pallas BN/ReLU/pool on TPU, XLA twin elsewhere.
+    # None/auto = XLA BN/ReLU/pool (faster end-to-end, PERF.md); True opts
+    # into the Pallas fused kernel.
     fused_bn_pool: bool | None = None
+    # Submanifold-faithful BN: statistics over occupied sites only and
+    # inactive sites zeroed through the stack (spconv semantics, reference
+    # sparse_cnn.py:11-40). Default off — PARITY.md records the measured
+    # training-dynamics delta behind this choice.
+    masked_bn: bool = False
 
     @nn.compact
     def __call__(self, voxels: jax.Array, *, train: bool = False, deterministic: bool = True) -> jax.Array:
@@ -158,14 +198,23 @@ class VoxelCNNEncoder(nn.Module):
             )
         compute_dtype = self.dtype or jnp.float32
         x = voxels.astype(compute_dtype)
+        mask = None
+        if self.masked_bn:
+            # Occupied = any nonzero input channel (the dense view of the
+            # sparse active-site set, datasets.py dense->sparse rule).
+            mask = jnp.any(voxels != 0, axis=-1, keepdims=True).astype(compute_dtype)
         channels = (self.ef_dim, self.ef_dim * 2, self.ef_dim * 4, self.ef_dim * 8, self.z_dim)
         for features in channels:
-            x = ConvBlock(
+            block = ConvBlock(
                 features,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 fused_bn_pool=self.fused_bn_pool,
-            )(x, train=train)
+            )
+            if mask is not None:
+                x, mask = block(x, train=train, mask=mask)
+            else:
+                x = block(x, train=train)
         x = x.reshape(x.shape[0], -1)  # (B, (D/32)^3 * z_dim); 4096 at D=64
         x = MLPHead(self.out_dim, self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype)(
             x, deterministic=deterministic

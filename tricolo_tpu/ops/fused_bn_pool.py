@@ -5,11 +5,18 @@ blocks (reference tricolo/model/module/voxel_encoder/sparse_cnn.py:11-44,
 rebuilt densely in models/voxel_cnn.py) dominate the train-step backward.
 XLA lowers the composed backward as select_and_scatter (maxpool) + separate
 BN backward — ~6 full passes over the (B, 64³, C) activation for block 1
-alone (~24 ms of a 104 ms step on v5e, PERF.md).
+alone when measured standalone (~24 ms, PERF.md).
 
-Key algorithmic choice: the forward saves the per-window **argmax** (as a
-bf16 scan-order index) and the normalized value ẑ at that site, both at
-pooled (⅛) resolution. The backward then needs NO activation recompute and
+**Measured outcome (PERF.md "Fused BN-ReLU-pool Pallas kernels"): this op
+beats the standalone XLA composition (≈22 vs ≈32 ms at block-1 scale) but
+LOSES inside the full train program, where XLA fuses the BN backward into
+the conv gradients and the normalize/relu into producers (1226 → ~1095
+pairs/s end-to-end). It therefore ships opt-in
+(model.modules.VoxelCNNEncoder.fused_bn_pool=true), value-and-grad exact,
+as the starting point for a future conv-epilogue-level fusion.**
+
+Key algorithmic choice: the forward saves the per-window **argmax** as a
+bf16 scan-order index at pooled (⅛) resolution. The backward then needs NO activation recompute and
 no compare cascade:
 
   dβ = Σ_{m>0} g               — pooled-resolution XLA reduction (~1 ms)
@@ -370,3 +377,52 @@ def inference_bn_relu_pool(y, scale, bias, mean, var, eps=1e-5):
     invstd = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
     mul, add = _muladd(mean.astype(jnp.float32), invstd, scale, bias, y.dtype)
     return _relu_pool(y, mul, add)
+
+
+def masked_bn_relu_pool(y, scale, bias, mask, eps=1e-5):
+    """Submanifold-faithful variant: statistics over *occupied* sites only.
+
+    spconv's BatchNorm1d sees only active sites and inactive sites simply do
+    not exist (reference sparse_cnn.py:11-40); the dense default instead
+    normalizes over all sites — mostly empty zeros — which shifts every
+    mean/var (documented divergence, models/voxel_cnn.py). This twin
+    replicates the submanifold semantics on the dense grid:
+
+      * mean/var over sites where ``mask`` is 1 (f32, masked reductions),
+      * normalize + relu, then zero inactive sites (they "don't exist"),
+      * maxpool; the pooled mask (window-any) propagates to the next block.
+
+    mask: (B, D, H, W, 1) float 0/1. Returns (pooled, mean, var,
+    pooled_mask). Plain XLA — this is the parity-experiment path
+    (PARITY.md), not the perf path.
+    """
+    yf = y.astype(jnp.float32)
+    m = mask.astype(jnp.float32)
+    count = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(yf * m, axis=(0, 1, 2, 3)) / count
+    var = jnp.sum(jnp.square(yf) * m, axis=(0, 1, 2, 3)) / count - jnp.square(mean)
+    var = jnp.maximum(var, 0.0)
+    invstd = jax.lax.rsqrt(var + eps)
+    mul, add = _muladd(mean, invstd, scale, bias, y.dtype)
+    a = jnp.maximum(y * mul + add, 0.0) * mask.astype(y.dtype)
+    pooled = jax.lax.reduce_window(
+        a, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
+    )
+    pooled_mask = jax.lax.reduce_window(
+        mask, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
+    )
+    return pooled, mean, var, pooled_mask
+
+
+def masked_inference_bn_relu_pool(y, scale, bias, mean, var, mask, eps=1e-5):
+    """Eval-mode masked path: running statistics, relu, zero inactive, pool."""
+    invstd = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    mul, add = _muladd(mean.astype(jnp.float32), invstd, scale, bias, y.dtype)
+    a = jnp.maximum(y * mul + add, 0.0) * mask.astype(y.dtype)
+    pooled = jax.lax.reduce_window(
+        a, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
+    )
+    pooled_mask = jax.lax.reduce_window(
+        mask, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
+    )
+    return pooled, pooled_mask
