@@ -37,6 +37,7 @@ from flax import linen as nn
 
 from ..ops.fused_bn_pool import (
     fused_bn_relu_pool,
+    hybrid_bn_relu_pool,
     inference_bn_relu_pool,
     masked_bn_relu_pool,
     masked_inference_bn_relu_pool,
@@ -98,15 +99,19 @@ class BNReLUPool(nn.Module):
                     x, scale, bias, mask, self.epsilon
                 )
             else:
-                # Auto (None) resolves to the XLA path: in the FULL train
-                # program XLA's cross-op fusions (BN-backward folded into
-                # conv grads, normalize/relu into producers) beat the
-                # hand-fused Pallas kernels end-to-end — 1226 vs ~1095
-                # pairs/s on v5e even when only the dominant 64³ block is
-                # fused (PERF.md "Fused BN-ReLU-pool Pallas kernels").
-                # use_fused=True keeps the kernel path available.
-                fused = bool(self.use_fused)
-                op = fused_bn_relu_pool if fused else reference_bn_relu_pool
+                # Auto (None) resolves to the hybrid op: XLA forward
+                # (conv-epilogue fusions intact) + a hand-derived backward
+                # whose BN parameter grads reduce at pooled resolution
+                # (31.5 vs 36.2 ms fwd+bwd at block-1 scale, exact grads —
+                # ops/fused_bn_pool.hybrid_bn_relu_pool). use_fused=True
+                # selects the all-Pallas kernel (loses end-to-end, kept for
+                # study); use_fused=False the plain XLA composition.
+                if self.use_fused is None:
+                    op = hybrid_bn_relu_pool
+                elif self.use_fused:
+                    op = fused_bn_relu_pool
+                else:
+                    op = reference_bn_relu_pool
                 pooled, mean, var = op(x, scale, bias, self.epsilon)
             if not self.is_initializing():
                 ra_mean.value = (

@@ -301,19 +301,20 @@ def _fwd(y, scale, bias, eps, block_d_pairs, interpret):
     return ((pooled, mean, var), residuals)
 
 
-def _bwd(eps, block_d_pairs, interpret, residuals, cts):
+def _bwd_pieces(y, pooled, scale, bias, mean, invstd, cts):
+    """Shared backward math: pooled-resolution BN parameter grads (argmax
+    trick) plus the per-channel A/B/C routing constants and folded params.
+
+    BN parameter grads come from the pooled-resolution argmax record: dz is
+    nonzero only at each window's first max, where relu' = [pooled > 0]
+    and — since pooled m = γ·ẑ + β there — ẑ = (m − β)/γ, recovered
+    without any full-resolution pass. γ == 0 would make ẑ unrecoverable
+    (and every dz-dependent grad 0·something anyway); guarded to 0.
+    """
     g_out, g_mean, g_var = cts
-    y, pooled, idx_f, scale, bias, mean, invstd = residuals
     B, D, H, W, C = y.shape
-    bd = _block_d_pairs(D, block_d_pairs)
-    interpret = _use_interpret(interpret)
     n = float(B * D * H * W)
 
-    # BN parameter grads from the pooled-resolution argmax record: dz is
-    # nonzero only at each window's first max, where relu' = [pooled > 0]
-    # and — since pooled m = γ·ẑ + β there — ẑ = (m − β)/γ, recovered
-    # without any full-resolution pass. γ == 0 would make ẑ unrecoverable
-    # (and every dz-dependent grad 0·something anyway); guarded to 0.
     live = (pooled > 0).astype(jnp.float32)
     g32 = g_out.astype(jnp.float32) * live
     scale32 = scale.astype(jnp.float32)
@@ -344,6 +345,17 @@ def _bwd(eps, block_d_pairs, interpret, residuals, cts):
         ],
         axis=0,
     )
+    return dbeta, dgamma, ga, params, F, PW, y7
+
+
+def _bwd(eps, block_d_pairs, interpret, residuals, cts):
+    y, pooled, idx_f, scale, bias, mean, invstd = residuals
+    B, D, H, W, C = y.shape
+    bd = _block_d_pairs(D, block_d_pairs)
+    interpret = _use_interpret(interpret)
+    dbeta, dgamma, ga, params, F, PW, y7 = _bwd_pieces(
+        y, pooled, scale, bias, mean, invstd, cts
+    )
     idx7 = idx_f  # already in the folded pooled layout
     dy7 = _pallas_dy(y7, ga, idx7, params, B, D, H, PW, F * C, C, bd, interpret)
     dy = dy7.reshape(B, D, H, W, C)
@@ -351,6 +363,85 @@ def _bwd(eps, block_d_pairs, interpret, residuals, cts):
 
 
 fused_bn_relu_pool.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def hybrid_bn_relu_pool(y, scale, bias, eps=1e-5):
+    """BN(train) → ReLU → MaxPool(2³) with a cheaper hand-derived backward.
+
+    Pure XLA on both sides (no Pallas — every hand kernel tried here lost,
+    PERF.md "Fused BN-ReLU-pool Pallas kernels"). The forward is identical
+    to `reference_bn_relu_pool`, keeping XLA's conv-epilogue fusions. The
+    backward replaces XLA's chain (select_and_scatter + full-resolution BN
+    reductions + dx pass) with:
+
+      * BN parameter grads at POOLED resolution via the argmax record: the
+        routed gradient is nonzero only at each window's first max, where
+        relu' = [m > 0] and ẑ = (m − β)/γ — both recoverable from the
+        pooled output alone, eliminating two full-resolution reduction
+        passes (~6 GB of HBM traffic at 64³×32),
+      * routing via the VJP of reduce_window-max itself (one
+        select_and_scatter, first-max semantics), and
+      * dx = route(A·g·[m>0]) + B + C·ẑ as one fused elementwise pass.
+
+    Measured at block-1 scale (128×64³×32 bf16): 31.5 vs 36.2 ms fwd+bwd.
+    Same contract as fused_bn_relu_pool: returns (pooled, mean, var);
+    gradients match the XLA composition (first-max routing, relu'(0)=0)
+    to f32 rounding. Works on any backend — it is plain XLA.
+    """
+    out, _ = _hybrid_fwd(y, scale, bias, eps)
+    return out
+
+
+def _hybrid_fwd(y, scale, bias, eps):
+    _check_shapes(y, scale, bias)
+    mean, var, invstd = _stats(y, eps)
+    mul, add = _muladd(mean, invstd, scale, bias, y.dtype)
+    pooled = _relu_pool(y, mul, add)
+    residuals = (y, pooled, scale, bias, mean, invstd, mul, add)
+    return ((pooled, mean, var), residuals)
+
+
+def _hybrid_bwd(eps, residuals, cts):
+    g_out, g_mean, g_var = cts
+    y, pooled, scale, bias, mean, invstd, mul, add = residuals
+    B, D, H, W, C = y.shape
+    n = float(B * D * H * W)
+
+    # Pooled-resolution BN parameter grads (see _bwd_pieces for the γ == 0
+    # guard rationale).
+    live = (pooled > 0).astype(jnp.float32)
+    g32 = g_out.astype(jnp.float32) * live
+    scale32 = scale.astype(jnp.float32)
+    safe = jnp.where(scale32 == 0.0, 1.0, scale32)
+    zmax = (pooled.astype(jnp.float32) - bias.astype(jnp.float32)) / safe
+    zmax = jnp.where(scale32 == 0.0, 0.0, zmax)
+    dbeta = jnp.sum(g32, axis=(0, 1, 2, 3))
+    dgamma = jnp.sum(g32 * zmax, axis=(0, 1, 2, 3))
+
+    # dy = route(A·g·[m>0]) + B + C·ẑ; B/C fold the BN backward through the
+    # batch statistics plus any mean/var cotangents (zero in training use).
+    A32 = scale32 * invstd
+    B32 = -A32 * dbeta / n + g_mean / n
+    C32 = -A32 * dgamma / n + 2.0 * g_var / (n * invstd)
+
+    # First-max routing through the pool = the VJP of reduce_window-max on
+    # the recomputed activation (internally consistent — no cross-program
+    # bit-exact compare needed).
+    a = jnp.maximum(y * mul + add, 0)
+    _, route = jax.vjp(
+        lambda t: jax.lax.reduce_window(
+            t, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
+        ),
+        a,
+    )
+    (routed,) = route((g32 * A32).astype(y.dtype))
+    zhat = y.astype(jnp.float32) * invstd - mean * invstd
+    dy = (routed.astype(jnp.float32) + B32 + C32 * zhat).astype(y.dtype)
+    return dy, dgamma.astype(scale.dtype), dbeta.astype(bias.dtype)
+
+
+hybrid_bn_relu_pool.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 
 def _relu_pool(y, mul, add):
