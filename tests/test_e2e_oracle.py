@@ -127,9 +127,15 @@ def _transplant(variables, tt, tv):
     bns = [m for m in tv.net if isinstance(m, torch.nn.BatchNorm3d)]
     for i, (conv, bn) in enumerate(zip(convs, bns)):
         block = vox[f"ConvBlock_{i}"]
-        block["Conv_0"]["kernel"] = (
-            conv.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
-        )
+        kernel = conv.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
+        if i == 0 and kernel.shape[-2] == 3:
+            # The encoder zero-pads RGB input to 4 channels (exact — see
+            # models/voxel_cnn.padded_rgb_conv_kernel_init); pad the
+            # reference kernel to match.
+            kernel = np.concatenate(
+                [kernel, np.zeros_like(kernel[..., :1, :])], axis=-2
+            )
+        block["Conv_0"]["kernel"] = kernel
         block["BatchNorm_0"]["scale"] = bn.weight.detach().numpy()
         block["BatchNorm_0"]["bias"] = bn.bias.detach().numpy()
         sb = vox_stats[f"ConvBlock_{i}"]["BatchNorm_0"]
