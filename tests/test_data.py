@@ -81,6 +81,29 @@ class TestCollate:
             assert (batch["voxel_flat"][i, n:] == VOXEL_PAD_SENTINEL).all()
             assert (batch["voxel_rgb"][i, n:] == 0).all()
 
+    def test_dense_transfer_equivalence(self, synth_train, synth_cfg):
+        """data.voxel_transfer=dense ships the host-densified grid; the
+        device must see the exact same voxels either way."""
+        import jax.numpy as jnp
+
+        from tricolo_tpu.data.device_prep import prepare_device_batch
+
+        items = [synth_train[i] for i in range(4)]
+        n_pad = synth_train.max_voxel_points
+        D = synth_cfg.data.voxel_size
+        packed = collate(items, n_pad, "packed", D)
+        dense = collate(items, n_pad, "dense", D)
+        assert "voxel_flat" not in dense
+        assert dense["voxel_grid"].shape == (4, D, D, D)
+        assert dense["voxel_grid"].dtype == np.uint32
+        va = prepare_device_batch(
+            {k: jnp.asarray(v) for k, v in packed.items() if k not in ("model_id", "category")}, D
+        )["voxels"]
+        vb = prepare_device_batch(
+            {k: jnp.asarray(v) for k, v in dense.items() if k not in ("model_id", "category")}, D
+        )["voxels"]
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
 
 class TestBatchIterator:
     def test_train_drop_last_and_shuffle(self, synth_train):

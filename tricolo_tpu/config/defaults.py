@@ -188,6 +188,11 @@ def data_preset(name: str) -> ConfigNode:
             # scatter cost / batch bytes; samples above it are truncated in
             # site order (documented divergence from keeping all sites).
             "voxel_max_points": None,
+            # Voxel host→device format: "packed" ships sparse u32 pairs and
+            # scatters on device (~6.6 ms/step at 64³ on v5e, 16× fewer H2D
+            # bytes); "dense" densifies in the prefetch thread and ships the
+            # u32 grid (scatter cost vanishes; H2D overlaps with compute).
+            "voxel_transfer": "packed",
         }
     )
     if name == "base":

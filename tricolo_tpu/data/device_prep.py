@@ -101,13 +101,46 @@ def densify_voxels(
     )
     grid = grid.reshape(batch, stride)[:, :d3]
     grid = grid.reshape(batch, voxel_size, voxel_size, voxel_size)
+    return unpack_dense_voxels(grid, dtype)
 
+
+def unpack_dense_voxels(grid_u32: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Dense packed-RGB grid (B, D, D, D) uint32 → (B, D, D, D, 3) float/255.
+
+    The device half of the ``data.voxel_transfer=dense`` path: the host
+    ships the already-dense grid (the scatter in `densify_voxels` costs
+    ~6.6 ms/step on a v5e and vanishes when the host does it during
+    prefetch — H2D of the 134 MB/batch grid overlaps with compute on real
+    hosts). Elementwise; XLA fuses it into the first conv.
+    """
     channels = [
-        (grid & 0xFF).astype(dtype),
-        ((grid >> 8) & 0xFF).astype(dtype),
-        ((grid >> 16) & 0xFF).astype(dtype),
+        (grid_u32 & 0xFF).astype(dtype),
+        ((grid_u32 >> 8) & 0xFF).astype(dtype),
+        ((grid_u32 >> 16) & 0xFF).astype(dtype),
     ]
     return jnp.stack(channels, axis=-1) / 255.0
+
+
+def densify_on_host(
+    flat_u32: "np.ndarray", rgb_u32: "np.ndarray", voxel_size: int
+) -> "np.ndarray":
+    """Numpy twin of the device scatter: packed sparse → (B, D, D, D) uint32.
+
+    Used by the collate path when ``data.voxel_transfer=dense``; runs in the
+    prefetch thread, overlapped with device compute.
+    """
+    batch, _ = flat_u32.shape
+    d3 = voxel_size * voxel_size * voxel_size
+    x = (flat_u32 >> 16) & 0xFF
+    y = (flat_u32 >> 8) & 0xFF
+    z = flat_u32 & 0xFF
+    local = (
+        x.astype(np.int64) * voxel_size + y.astype(np.int64)
+    ) * voxel_size + z.astype(np.int64)
+    grid = np.zeros((batch, d3 + 1), np.uint32)  # slot d3 swallows padding
+    local = np.where(flat_u32 == VOXEL_PAD_SENTINEL, d3, local)
+    np.put_along_axis(grid, local, rgb_u32, axis=1)
+    return grid[:, :d3].reshape(batch, voxel_size, voxel_size, voxel_size)
 
 
 def prepare_device_batch(batch: dict, voxel_size: int, dtype=jnp.float32) -> dict:
@@ -120,7 +153,9 @@ def prepare_device_batch(batch: dict, voxel_size: int, dtype=jnp.float32) -> dic
     out: dict = {"tokens": batch["tokens"]}
     if "images" in batch:
         out["images"] = normalize_images(batch["images"], dtype)
-    if "voxel_flat" in batch:
+    if "voxel_grid" in batch:
+        out["voxels"] = unpack_dense_voxels(batch["voxel_grid"], dtype)
+    elif "voxel_flat" in batch:
         out["voxels"] = densify_voxels(
             batch["voxel_flat"], batch["voxel_rgb"], voxel_size, dtype
         )

@@ -26,7 +26,12 @@ import numpy as np
 from .datasets import build_dataset
 
 
-def collate(items: list[dict], max_voxel_points: int) -> dict[str, Any]:
+def collate(
+    items: list[dict],
+    max_voxel_points: int,
+    voxel_transfer: str = "packed",
+    voxel_size: int = 64,
+) -> dict[str, Any]:
     """Stack items into one fixed-shape numpy batch.
 
     The sparse-voxel convention diverges from the reference's ragged
@@ -35,8 +40,14 @@ def collate(items: list[dict], max_voxel_points: int) -> dict[str, Any]:
     uint sentinel for padding) and r|g<<8|b<<16 — giving a static (B, N)
     shape that feeds the TPU-tuned sorted-unique set-scatter
     (device_prep.densify_voxels).
+
+    ``voxel_transfer="dense"`` instead ships the already-densified uint32
+    grid (built here, in the prefetch thread): ~16× more H2D bytes at 64³,
+    but the per-step device scatter (~6.6 ms on v5e) disappears and the
+    transfer overlaps with compute. Pick "packed" when host→device
+    bandwidth is the constraint, "dense" when device step time is.
     """
-    from .device_prep import VOXEL_PAD_SENTINEL
+    from .device_prep import VOXEL_PAD_SENTINEL, densify_on_host
 
     batch_size = len(items)
     n_pad = max_voxel_points
@@ -52,9 +63,12 @@ def collate(items: list[dict], max_voxel_points: int) -> dict[str, Any]:
         "category": [item["category"] for item in items],
         "tokens": np.stack([item["tokens"] for item in items]).astype(np.int32),
         "images": np.stack([item["images"] for item in items]),
-        "voxel_flat": flat,
-        "voxel_rgb": rgb,
     }
+    if voxel_transfer == "dense":
+        batch["voxel_grid"] = densify_on_host(flat, rgb, voxel_size)
+    else:
+        batch["voxel_flat"] = flat
+        batch["voxel_rgb"] = rgb
     for key in ("clip_embeddings_img", "clip_embeddings_text"):
         if key in items[0]:
             batch[key] = np.stack([item[key] for item in items]).astype(np.float32)
@@ -72,6 +86,8 @@ class BatchIterator:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: bool = True,
+        voxel_transfer: str = "packed",
+        voxel_size: int = 64,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -79,6 +95,8 @@ class BatchIterator:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.voxel_transfer = voxel_transfer
+        self.voxel_size = voxel_size
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -110,7 +128,12 @@ class BatchIterator:
                 )
             else:
                 valid = self.batch_size
-            batch = collate([self.dataset[int(i)] for i in chunk], n_pad)
+            batch = collate(
+                [self.dataset[int(i)] for i in chunk],
+                n_pad,
+                self.voxel_transfer,
+                self.voxel_size,
+            )
             batch["num_valid"] = valid
             yield batch
 
@@ -181,16 +204,23 @@ class DataModule:
         else:
             self.val_set = build_dataset(self.cfg, self.cfg.inference.split)
 
+    def _loader_kwargs(self) -> dict:
+        return dict(
+            batch_size=self.cfg.data.batch_size,
+            voxel_transfer=self.cfg.data.get("voxel_transfer", "packed"),
+            voxel_size=self.cfg.data.voxel_size,
+        )
+
     def train_loader(self) -> BatchIterator:
         return BatchIterator(
             self.train_set,
-            batch_size=self.cfg.data.batch_size,
             shuffle=True,
             drop_last=True,
             seed=self.cfg.train_seed,
+            **self._loader_kwargs(),
         )
 
     def val_loader(self) -> BatchIterator:
-        return BatchIterator(self.val_set, batch_size=self.cfg.data.batch_size)
+        return BatchIterator(self.val_set, **self._loader_kwargs())
 
     test_loader = val_loader
