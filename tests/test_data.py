@@ -282,6 +282,41 @@ class TestVoxelBudget:
         auto = build_dataset(load_config(["data=synthetic"]), "train")
         assert capped.max_voxel_points == auto.max_voxel_points
 
+    def test_truncating_cap_warns(self):
+        import warnings
+
+        from tricolo_tpu.data.datasets import GeneralDataset, _resolve_voxel_budget
+
+        cfg = load_config(["data=synthetic", "data.voxel_max_points=600"])
+        vision = {
+            ("c", "big"): {"flat": np.zeros(2000, np.uint32)},
+            ("c", "small"): {"flat": np.zeros(100, np.uint32)},
+        }
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            budget = _resolve_voxel_budget(
+                cfg, vision, "train", GeneralDataset._pad_target
+            )
+        assert budget == 1024  # cap rounded up to the pad multiple
+        msgs = [str(w.message) for w in caught]
+        assert any("truncates 1/2" in m and "voxel_max_points" in m for m in msgs), msgs
+
+    def test_non_truncating_cap_silent(self):
+        import warnings
+
+        from tricolo_tpu.data.datasets import GeneralDataset, _resolve_voxel_budget
+
+        # A cap that rounds up past the data max truncates nothing → silent.
+        cfg = load_config(["data=synthetic", "data.voxel_max_points=100"])
+        vision = {("c", "m"): {"flat": np.zeros(300, np.uint32)}}
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            budget = _resolve_voxel_budget(
+                cfg, vision, "train", GeneralDataset._pad_target
+            )
+        assert budget == 512
+        assert not [w for w in caught if "truncates" in str(w.message)]
+
 
 class TestParallelLoad:
     def test_threaded_load_matches_serial(self, tmp_path):

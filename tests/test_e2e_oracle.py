@@ -213,3 +213,131 @@ def test_biv_train_steps_match_torch():
         assert abs(j_loss - float(t_loss)) < 2e-4, (
             f"step {step}: jax {j_loss} vs torch {float(t_loss)}"
         )
+
+
+class TorchMVCNN(torch.nn.Module):
+    """Reference MVCNN twin (mv_cnn.py:9-33): shared ResNet18 backbone over
+    the view-folded batch, element-wise max over views, fc→z_dim, MLP,
+    L2-normalize. Reuses the torchvision-named backbone oracle from
+    tests/test_resnet.py."""
+
+    def __init__(self, num_views: int):
+        super().__init__()
+        from test_resnet import TorchResNet18
+
+        self.num_views = num_views
+        self.backbone = TorchResNet18()
+        self.fc = torch.nn.Linear(512, Z)
+        self.mlp = torch.nn.Sequential(
+            torch.nn.Linear(Z, OUT), torch.nn.ReLU(), torch.nn.Linear(OUT, OUT)
+        )
+
+    def forward(self, x):  # x: (B·V, 3, H, W) normalized floats
+        feats = self.backbone(x)  # (B·V, 512)
+        feats = feats.reshape(-1, self.num_views, feats.shape[-1])
+        pooled = feats.max(dim=1).values
+        return F.normalize(self.mlp(self.fc(pooled)), dim=1)
+
+
+def test_tri_train_steps_match_torch():
+    """Full flagship Tri(I+V): BiGRU + MVCNN/ResNet18 + VoxelCNN through the
+    real train step vs the composed torch reference, loss-for-loss."""
+    VIEWS, IMG = 2, 32
+    cfg = load_config(
+        [
+            "data=synthetic",
+            "model.voxel_encoder=VoxelCNNEncoder",
+            "model.image_encoder=MVCNNEncoder",
+            f"model.out_dim={OUT}",
+            f"model.modules.VoxelCNNEncoder.ef_dim={EF}",
+            f"model.modules.VoxelCNNEncoder.z_dim={Z}",
+            f"model.modules.MVCNNEncoder.z_dim={Z}",
+            f"data.vocab_size={VOCAB}",
+            f"data.voxel_size={VOX}",
+            f"data.batch_size={BATCH}",
+            f"data.num_views={VIEWS}",
+            f"data.image_size={IMG}",
+            "precision.compute_dtype=float32",
+        ]
+    )
+    rng = np.random.default_rng(11)
+    host = _host_batch(rng)
+    host["images"] = rng.integers(
+        0, 256, (BATCH, VIEWS, IMG, IMG, 3), dtype=np.uint8
+    )
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+
+    torch.manual_seed(0)
+    tt, tv, ti = TorchBiGRU(), TorchVoxelCNN(), TorchMVCNN(VIEWS)
+
+    model = TriCoLoNet.from_config(cfg)
+    device_batch = prepare_device_batch(batch, VOX)
+    variables = model.init(jax.random.PRNGKey(0), device_batch)
+    variables = _transplant(variables, tt, tv)
+
+    # Image-encoder transplant: backbone through the torchvision-name
+    # converter, then fc/MLP heads.
+    from tricolo_tpu.models.resnet import convert_torchvision_state_dict
+
+    params = jax.tree.map(np.array, variables["params"])
+    stats = jax.tree.map(np.array, variables["batch_stats"])
+    bb_params, bb_stats = convert_torchvision_state_dict(
+        ti.backbone.state_dict(), "resnet18"
+    )
+    params["image_encoder"]["backbone"] = jax.tree.map(np.array, bb_params)
+    stats["image_encoder"]["backbone"] = jax.tree.map(np.array, bb_stats)
+    img = params["image_encoder"]
+    img["fc"]["Dense_0"]["kernel"] = ti.fc.weight.detach().numpy().T
+    img["fc"]["Dense_0"]["bias"] = ti.fc.bias.detach().numpy()
+    for j, lin in enumerate(m for m in ti.mlp if isinstance(m, torch.nn.Linear)):
+        dense = img["MLPHead_0"][f"TorchLinear_{j}"]["Dense_0"]
+        dense["kernel"] = lin.weight.detach().numpy().T
+        dense["bias"] = lin.bias.detach().numpy()
+    variables = {
+        "params": jax.tree.map(lambda a: jnp.array(a, copy=True), params),
+        "batch_stats": jax.tree.map(lambda a: jnp.array(a, copy=True), stats),
+    }
+
+    dense = np.asarray(device_batch["voxels"])
+    t_vox = torch.from_numpy(dense.transpose(0, 4, 1, 2, 3).copy())
+    t_tok = torch.from_numpy(host["tokens"].astype(np.int64))
+    imgs = np.asarray(device_batch["images"])  # (B, V, H, W, 3) normalized
+    t_img = torch.from_numpy(
+        imgs.reshape(-1, IMG, IMG, 3).transpose(0, 3, 1, 2).copy()
+    )
+
+    lr = cfg.optimizer.lr
+    opt = torch.optim.Adam(
+        list(tt.parameters()) + list(tv.parameters()) + list(ti.parameters()),
+        lr=lr,
+        weight_decay=cfg.optimizer.weight_decay,
+        eps=1e-8,
+    )
+    tx = make_optimizer(cfg)
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, tx, cfg)
+    key = jax.random.PRNGKey(1)
+
+    tt.train(), tv.train(), ti.train()
+    # Tolerance grows per optimizer step: 20 convs of train-mode BN plus
+    # Adam's rsqrt amplify f32 accumulation-order differences compound-wise
+    # (measured drift ~3e-3 by step 2 at loss ~4.9).
+    tols = (5e-4, 2e-3, 8e-3)
+    for step in range(3):
+        opt.zero_grad()
+        f_t, f_i, f_v = tt(t_tok), ti(t_img), tv(t_vox)
+        # Sum of pairwise losses in feature-dict order text→image→voxel
+        # (reference tricolo_net.py:56-65).
+        t_loss = (
+            torch_nt_xent(f_t, f_i)
+            + torch_nt_xent(f_t, f_v)
+            + torch_nt_xent(f_i, f_v)
+        )
+        t_loss.backward()
+        opt.step()
+
+        state, losses = train_step(state, batch, lr, key)
+        j_loss = float(losses["train_loss/total_loss"])
+        assert abs(j_loss - float(t_loss)) < tols[step], (
+            f"step {step}: jax {j_loss} vs torch {float(t_loss)}"
+        )

@@ -123,6 +123,33 @@ def _load_clip_cache(path_base: str) -> dict | None:
     return None
 
 
+
+def _resolve_voxel_budget(cfg, vision_data, split, pad_target) -> int:
+    """Per-sample padded voxel budget: data max, optionally capped by
+    ``data.voxel_max_points`` — warning when the cap actually truncates
+    (truncation keeps the first sites in flat-grid order, i.e. drops the
+    top of the grid)."""
+    data_max = max((v["flat"].shape[0] for v in vision_data.values()), default=1)
+    cap = cfg.data.get("voxel_max_points")
+    budget = pad_target(min(cap, data_max) if cap else data_max)
+    if cap and cap < data_max:
+        clipped = sum(
+            1 for v in vision_data.values() if v["flat"].shape[0] > budget
+        )
+        if clipped:
+            import warnings
+
+            warnings.warn(
+                f"voxel_max_points={cap} truncates {clipped}/"
+                f"{len(vision_data)} models in split '{split}' "
+                f"(split max {data_max} occupied sites); truncation keeps "
+                "the first sites in flat-grid order, dropping the top of "
+                "the grid. Set data.voxel_max_points=null for exact batches.",
+                stacklevel=3,
+            )
+    return budget
+
+
 class GeneralDataset:
     """One split in RAM; indexable by caption."""
 
@@ -183,12 +210,8 @@ class GeneralDataset:
             entries = [self._load_model(k, clip_cache) for k in unique_keys]
         self.vision_data = dict(zip(unique_keys, entries))
 
-        data_max = max(
-            (v["flat"].shape[0] for v in self.vision_data.values()), default=1
-        )
-        cap = cfg.data.get("voxel_max_points")
-        self.max_voxel_points = self._pad_target(
-            min(cap, data_max) if cap else data_max
+        self.max_voxel_points = _resolve_voxel_budget(
+            cfg, self.vision_data, split, self._pad_target
         )
 
     def _fix_tokens(self, tokens) -> np.ndarray:
@@ -323,8 +346,8 @@ class SyntheticDataset:
                         "text": f"synthetic caption {m}-{c}",
                     }
                 )
-        self.max_voxel_points = GeneralDataset._pad_target(
-            max(v["flat"].shape[0] for v in self.vision_data.values())
+        self.max_voxel_points = _resolve_voxel_budget(
+            cfg, self.vision_data, split, GeneralDataset._pad_target
         )
 
     def __len__(self):
