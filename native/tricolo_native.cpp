@@ -184,7 +184,7 @@ bool npy_parse_u8(const std::vector<uint8_t>& buf, size_t* data_offset,
 extern "C" {
 
 // Version tag so the Python binding can detect stale builds.
-int32_t tricolo_native_abi_version() { return 3; }
+int32_t tricolo_native_abi_version() { return 4; }
 
 // Dense (4, D, D, D) u8 RGBA C-order grid -> packed words. Returns the
 // occupied-site count (may exceed n_cap; only n_cap entries are written).
@@ -205,9 +205,13 @@ int64_t tricolo_dense_rgba_to_packed(const uint8_t* grid, int64_t d,
         const uint32_t y = static_cast<uint32_t>((site / d) % d);
         const uint32_t z = static_cast<uint32_t>(site % d);
         flat[count] = (x * 256u + y) * 256u + z;
+        // Bit 24 = occupancy flag (reference active-site rule is alpha>0,
+        // so pure-black occupied voxels must stay distinguishable from
+        // empty space in the packed word).
         rgb[count] = static_cast<uint32_t>(r_plane[site]) |
                      (static_cast<uint32_t>(g_plane[site]) << 8) |
-                     (static_cast<uint32_t>(b_plane[site]) << 16);
+                     (static_cast<uint32_t>(b_plane[site]) << 16) |
+                     (1u << 24);
       }
       ++count;
     }

@@ -30,23 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sync(tree):
-    leaf = jax.tree.leaves(tree)[0]
-    np.asarray(jax.device_get(jnp.sum(leaf.astype(jnp.float32)) if leaf.ndim else leaf))
-
-
-def timeit(fn, args, iters: int) -> float:
-    """Median over 3 rounds of `iters` executions per fetch; ms/exec."""
-    out = fn(*args)
-    _sync(out)
-    times = []
-    for _ in range(3):
-        tic = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        _sync(out)
-        times.append((time.perf_counter() - tic) / iters * 1000)
-    return float(np.median(times))
+from bench_util import sync as _sync, timeit  # noqa: E402
 
 
 def main():
@@ -140,7 +124,7 @@ def main():
         (
             "voxel CNN (128x64^3)",
             VoxelCNNEncoder(voxel_size=m.VoxelCNNEncoder.voxel_size, ef_dim=m.VoxelCNNEncoder.ef_dim,
-                            z_dim=m.MVCNNEncoder.z_dim, out_dim=cfg.model.out_dim, dtype=dt),
+                            z_dim=m.VoxelCNNEncoder.z_dim, out_dim=cfg.model.out_dim, dtype=dt),
             dbatch["voxels"],
             dict(train=True),
         ),

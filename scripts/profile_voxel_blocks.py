@@ -22,22 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sync(tree):
-    leaf = jax.tree.leaves(tree)[0]
-    np.asarray(jax.device_get(jnp.sum(leaf.astype(jnp.float32)) if leaf.ndim else leaf))
-
-
-def timeit(fn, args, iters: int) -> float:
-    out = fn(*args)
-    _sync(out)
-    times = []
-    for _ in range(3):
-        tic = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        _sync(out)
-        times.append((time.perf_counter() - tic) / iters * 1000)
-    return float(np.median(times))
+from bench_util import sync as _sync, timeit  # noqa: E402
 
 
 BLOCKS = [  # (D, Cin, Cout) per ConvBlock at voxel_size=64, ef_dim=32

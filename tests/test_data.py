@@ -179,6 +179,37 @@ class TestDevicePrep:
         np.testing.assert_allclose(dense[0, 1, 2, 3], [1.0, 0.0, 0.0])
         np.testing.assert_allclose(dense[1, 1, 2, 3], [0.0, 1.0, 0.0])
 
+    def test_voxel_mask_channel_alpha_rule(self):
+        # Occupied pure-black voxels must appear in the occupancy channel
+        # (the reference active-site rule is alpha>0, not rgb!=0).
+        from tricolo_tpu.data.device_prep import (
+            densify_on_host,
+            pack_sparse_voxels,
+            prepare_device_batch,
+            unpack_dense_voxels,
+        )
+
+        coords = np.array([[0, 0, 0], [1, 1, 1]], np.uint8)
+        feats = np.array([[0, 0, 0], [255, 0, 0]], np.uint8)  # black + red
+        flat, rgb = pack_sparse_voxels(coords, feats, 4)
+        batch = {
+            "tokens": jnp.zeros((1, 4), jnp.int32),
+            "voxel_flat": jnp.asarray(flat[None]),
+            "voxel_rgb": jnp.asarray(rgb[None]),
+        }
+        out = prepare_device_batch(batch, 4, voxel_mask=True)["voxels"]
+        assert out.shape == (1, 4, 4, 4, 4)
+        v = np.asarray(out)
+        assert v[0, 0, 0, 0, 3] == 1.0  # black voxel occupied
+        assert v[0, 1, 1, 1, 3] == 1.0
+        assert v[..., 3].sum() == 2.0
+        np.testing.assert_allclose(v[0, 0, 0, 0, :3], 0.0)
+        np.testing.assert_allclose(v[0, 1, 1, 1, :3], [1.0, 0.0, 0.0])
+        # Dense-transfer path agrees.
+        grid = densify_on_host(flat[None], rgb[None], 4)
+        v2 = np.asarray(unpack_dense_voxels(jnp.asarray(grid), with_mask=True))
+        np.testing.assert_array_equal(v, v2)
+
     def test_normalize_images(self):
         rng = np.random.default_rng(0)
         imgs = rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8)
@@ -243,7 +274,8 @@ class TestGeneralDataset:
             item["voxel_flat"], (c[:, 0] * 256 + c[:, 1]) * 256 + c[:, 2]
         )
         np.testing.assert_array_equal(
-            item["voxel_rgb"], f[:, 0] | (f[:, 1] << 8) | (f[:, 2] << 16)
+            item["voxel_rgb"],
+            f[:, 0] | (f[:, 1] << 8) | (f[:, 2] << 16) | np.uint32(1 << 24),
         )
 
     def test_view_subsample_even(self, tmp_path):

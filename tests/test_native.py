@@ -43,7 +43,7 @@ class TestDenseToPacked:
         grid = np.full((4, 8, 8, 8), 200, np.uint8)
         flat, rgb = native.dense_rgba_to_packed(grid)
         assert flat.size == 512
-        assert (rgb == (200 | (200 << 8) | (200 << 16))).all()
+        assert (rgb == (200 | (200 << 8) | (200 << 16) | (1 << 24))).all()
 
 
 class TestNpzPath:

@@ -97,7 +97,13 @@ def dense_rgba_to_packed(dense_voxel: np.ndarray):
     z = (rem % d).astype(np.uint32)
     flat = (x * 256 + y) * 256 + z
     rgb_channels = dense_voxel[:3].reshape(3, -1)[:, sites].astype(np.uint32)
-    rgb = rgb_channels[0] | (rgb_channels[1] << 8) | (rgb_channels[2] << 16)
+    # Bit 24 = occupancy (alpha>0 rule); see device_prep.VOXEL_OCCUPIED_BIT.
+    rgb = (
+        rgb_channels[0]
+        | (rgb_channels[1] << 8)
+        | (rgb_channels[2] << 16)
+        | np.uint32(1 << 24)
+    )
     return flat, rgb
 
 
@@ -325,7 +331,12 @@ class SyntheticDataset:
             x, y, z = sites // (d * d), (sites // d) % d, sites % d
             flat = (x * 256 + y) * 256 + z
             feats = rng.integers(0, 256, (n_points, 3), dtype=np.uint32)
-            rgb = feats[:, 0] | (feats[:, 1] << 8) | (feats[:, 2] << 16)
+            rgb = (
+                feats[:, 0]
+                | (feats[:, 1] << 8)
+                | (feats[:, 2] << 16)
+                | np.uint32(1 << 24)  # occupancy bit, see device_prep
+            )
             images = rng.integers(
                 0, 256, (self.num_views, self.image_size, self.image_size, 3), dtype=np.uint8
             )

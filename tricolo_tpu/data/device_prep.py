@@ -33,6 +33,9 @@ def normalize_images(images_u8: jax.Array, dtype=jnp.float32) -> jax.Array:
 
 
 VOXEL_PAD_SENTINEL = np.uint32(0xFFFFFFFF)
+# Byte 3 of a packed RGB word flags the site as occupied (alpha>0 in the
+# source RGBA grid) — needed because RGB (0,0,0) is a legal occupied color.
+VOXEL_OCCUPIED_BIT = np.uint32(1 << 24)
 
 
 def pack_sparse_voxels(coords: "np.ndarray", feats: "np.ndarray", n_pad: int):
@@ -50,7 +53,10 @@ def pack_sparse_voxels(coords: "np.ndarray", feats: "np.ndarray", n_pad: int):
     rgb = np.zeros(n_pad, dtype=np.uint32)
     # Flattened with x slowest — matches the (D, D, D) reshape below.
     flat[:n] = (c[:, 0] * 256 + c[:, 1]) * 256 + c[:, 2]
-    rgb[:n] = f[:, 0] | (f[:, 1] << 8) | (f[:, 2] << 16)
+    # Bit 24 = occupancy: the reference's active-site rule is alpha>0
+    # (general_dataset.py:46-51), so occupied pure-black voxels must stay
+    # distinguishable from empty space after densification.
+    rgb[:n] = f[:, 0] | (f[:, 1] << 8) | (f[:, 2] << 16) | VOXEL_OCCUPIED_BIT
     return flat, rgb
 
 
@@ -59,6 +65,7 @@ def densify_voxels(
     rgb_u32: jax.Array,
     voxel_size: int,
     dtype=jnp.float32,
+    with_mask: bool = False,
 ) -> jax.Array:
     """Packed sparse batch → dense (B, D, D, D, 3) float grid.
 
@@ -101,10 +108,12 @@ def densify_voxels(
     )
     grid = grid.reshape(batch, stride)[:, :d3]
     grid = grid.reshape(batch, voxel_size, voxel_size, voxel_size)
-    return unpack_dense_voxels(grid, dtype)
+    return unpack_dense_voxels(grid, dtype, with_mask)
 
 
-def unpack_dense_voxels(grid_u32: jax.Array, dtype=jnp.float32) -> jax.Array:
+def unpack_dense_voxels(
+    grid_u32: jax.Array, dtype=jnp.float32, with_mask: bool = False
+) -> jax.Array:
     """Dense packed-RGB grid (B, D, D, D) uint32 → (B, D, D, D, 3) float/255.
 
     The device half of the ``data.voxel_transfer=dense`` path: the host
@@ -112,13 +121,21 @@ def unpack_dense_voxels(grid_u32: jax.Array, dtype=jnp.float32) -> jax.Array:
     ~6.6 ms/step on a v5e and vanishes when the host does it during
     prefetch — H2D of the 134 MB/batch grid overlaps with compute on real
     hosts). Elementwise; XLA fuses it into the first conv.
+
+    ``with_mask`` appends a 4th channel: the 0/1 occupancy flag from the
+    packed word's bit 24 (the reference alpha>0 active-site rule) — used by
+    the submanifold-faithful masked-BN mode. Packed data written before the
+    occupancy bit existed yields an all-zero mask; masked_bn requires
+    repacked data.
     """
     channels = [
-        (grid_u32 & 0xFF).astype(dtype),
-        ((grid_u32 >> 8) & 0xFF).astype(dtype),
-        ((grid_u32 >> 16) & 0xFF).astype(dtype),
+        (grid_u32 & 0xFF).astype(dtype) / 255.0,
+        ((grid_u32 >> 8) & 0xFF).astype(dtype) / 255.0,
+        ((grid_u32 >> 16) & 0xFF).astype(dtype) / 255.0,
     ]
-    return jnp.stack(channels, axis=-1) / 255.0
+    if with_mask:
+        channels.append(((grid_u32 >> 24) & 0x1).astype(dtype))
+    return jnp.stack(channels, axis=-1)
 
 
 def densify_on_host(
@@ -143,21 +160,25 @@ def densify_on_host(
     return grid[:, :d3].reshape(batch, voxel_size, voxel_size, voxel_size)
 
 
-def prepare_device_batch(batch: dict, voxel_size: int, dtype=jnp.float32) -> dict:
+def prepare_device_batch(
+    batch: dict, voxel_size: int, dtype=jnp.float32, voxel_mask: bool = False
+) -> dict:
     """Expand a host batch into the tensor dict TriCoLoNet consumes.
 
     Keys passed through: tokens, clip_embeddings_img/text. Keys produced:
     images (normalized float) when raw images are present, voxels (dense
-    float grid) when sparse voxels are present.
+    float grid) when sparse voxels are present — with a 4th occupancy
+    channel when ``voxel_mask`` (the masked-BN mode's alpha>0 active-site
+    mask; VoxelCNNEncoder splits it off before the convs).
     """
     out: dict = {"tokens": batch["tokens"]}
     if "images" in batch:
         out["images"] = normalize_images(batch["images"], dtype)
     if "voxel_grid" in batch:
-        out["voxels"] = unpack_dense_voxels(batch["voxel_grid"], dtype)
+        out["voxels"] = unpack_dense_voxels(batch["voxel_grid"], dtype, voxel_mask)
     elif "voxel_flat" in batch:
         out["voxels"] = densify_voxels(
-            batch["voxel_flat"], batch["voxel_rgb"], voxel_size, dtype
+            batch["voxel_flat"], batch["voxel_rgb"], voxel_size, dtype, voxel_mask
         )
     for key in ("clip_embeddings_img", "clip_embeddings_text"):
         if key in batch:

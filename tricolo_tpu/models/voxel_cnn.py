@@ -64,23 +64,22 @@ def padded_rgb_conv_kernel_init(key, shape, dtype=jnp.float32):
 
 
 class BNReLUPool(nn.Module):
-    """BatchNorm → ReLU → MaxPool(2³) with a fused Pallas training path.
+    """BatchNorm → ReLU → MaxPool(2³) with selectable compute paths.
 
     Owns flax-BatchNorm-compatible variables (params scale/bias, batch_stats
-    mean/var) so fused vs plain is a pure compute-path toggle over one
-    parameter tree. In train mode the fused custom-VJP op (ops/fused_bn_pool)
-    computes batch statistics, activation and pooling with an argmax-saving
-    Pallas forward and a one-pass routed backward. It beats the standalone
-    XLA composition but *loses to XLA's cross-op fusions in the full train
-    program* (PERF.md), so `use_fused=None` resolves to the XLA twin and the
-    kernel stays opt-in (`use_fused=True`). Normalization is
-    y·mul + add with per-channel folded constants — same math as flax
-    BatchNorm within one rounding.
+    mean/var) so the path choice is a pure compute toggle over one parameter
+    tree. Train-mode paths (ops/fused_bn_pool): `use_fused=None` (default)
+    → `hybrid_bn_relu_pool`, XLA forward + hand-derived backward with
+    pooled-resolution BN parameter grads (fastest end-to-end, PERF.md);
+    `True` → the all-Pallas argmax-saving kernel (loses in the full program,
+    kept for study); `False` → the plain XLA composition. All three share
+    the normalization formula y·mul + add with per-channel folded constants
+    — same math as flax BatchNorm within one rounding — computed in the
+    input array's dtype with f32 statistics.
     """
 
     momentum: float = 0.9  # flax convention; == torch momentum 0.1
     epsilon: float = 1e-5
-    dtype: Any = None
     param_dtype: Any = jnp.float32
     use_fused: bool | None = None
 
@@ -176,15 +175,15 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
-        # BN runs in the compute dtype (bf16 on TPU): normalizing the
-        # (B, 64³, C) block in f32 costs ~20 ms/step extra HBM traffic on
-        # v5e (measured); statistics always accumulate in f32. The module
-        # keeps the flax BatchNorm variable layout ("BatchNorm_0" with
-        # scale/bias/mean/var) for checkpoint compatibility.
+        # BNReLUPool computes in the input array's dtype — bf16 on TPU:
+        # normalizing the (B, 64³, C) block in f32 costs ~20 ms/step extra
+        # HBM traffic on v5e (measured); statistics always accumulate in
+        # f32. The module keeps the flax BatchNorm variable layout
+        # ("BatchNorm_0" with scale/bias/mean/var) for checkpoint
+        # compatibility.
         return BNReLUPool(
             momentum=0.9,  # torch BatchNorm default momentum=0.1
             epsilon=1e-5,
-            dtype=self.dtype,
             param_dtype=self.param_dtype,
             use_fused=self.fused_bn_pool,
             name="BatchNorm_0",
@@ -222,10 +221,22 @@ class VoxelCNNEncoder(nn.Module):
         compute_dtype = self.dtype or jnp.float32
         x = voxels.astype(compute_dtype)
         mask = None
-        if self.masked_bn:
-            # Occupied = any nonzero input channel (the dense view of the
-            # sparse active-site set, datasets.py dense->sparse rule).
-            mask = jnp.any(voxels != 0, axis=-1, keepdims=True).astype(compute_dtype)
+        if x.shape[-1] == 4:
+            # 4th channel = the alpha>0 occupancy flag carried through
+            # densification (device_prep voxel_mask path) — split it off so
+            # the convs never see it.
+            mask = x[..., 3:]
+            x = x[..., :3]
+            if not self.masked_bn:
+                mask = None
+        if self.masked_bn and mask is None:
+            # Fallback for 3-channel input (no occupancy channel): any
+            # nonzero RGB. Diverges from the reference alpha>0 rule for
+            # occupied pure-black voxels — feed 4-channel batches
+            # (prepare_device_batch(..., voxel_mask=True)) for exactness.
+            mask = jnp.any(voxels[..., :3] != 0, axis=-1, keepdims=True).astype(
+                compute_dtype
+            )
         pad_rgb = x.shape[-1] == 3
         if pad_rgb:
             # Zero-pad RGB → 4 channels: numerically identical (see

@@ -18,7 +18,7 @@ import subprocess
 
 import numpy as np
 
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(os.path.dirname(_HERE))
 _SRC_DIR = os.path.join(_REPO_ROOT, "native")

@@ -35,6 +35,12 @@ def _compute_dtype(cfg):
     ]
 
 
+def _wants_voxel_mask(cfg) -> bool:
+    """Masked (submanifold-faithful) BN needs the alpha>0 occupancy channel
+    carried through densification (device_prep bit-24 flag)."""
+    return bool(cfg.model.modules.VoxelCNNEncoder.get("masked_bn", False))
+
+
 def make_train_step(model, tx, cfg, pair_loss: Callable | None = None):
     """Build the jitted train step: (state, batch, lr, rng) → (state, metrics).
 
@@ -44,10 +50,11 @@ def make_train_step(model, tx, cfg, pair_loss: Callable | None = None):
     """
     voxel_size = cfg.data.voxel_size
     dtype = _compute_dtype(cfg)
+    voxel_mask = _wants_voxel_mask(cfg)
     loss_pair = pair_loss or make_loss_fn(cfg)
 
     def loss_fn(params, batch_stats, batch, rng):
-        device_batch = prepare_device_batch(batch, voxel_size, dtype)
+        device_batch = prepare_device_batch(batch, voxel_size, dtype, voxel_mask)
         variables = {"params": params, "batch_stats": batch_stats}
         output, mutated = model.apply(
             variables,
@@ -93,11 +100,12 @@ def make_eval_step(model, cfg, with_loss: bool = True):
     """
     voxel_size = cfg.data.voxel_size
     dtype = _compute_dtype(cfg)
+    voxel_mask = _wants_voxel_mask(cfg)
     loss_pair = make_loss_fn(cfg)
 
     @jax.jit
     def eval_step(state, batch):
-        device_batch = prepare_device_batch(batch, voxel_size, dtype)
+        device_batch = prepare_device_batch(batch, voxel_size, dtype, voxel_mask)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         output = model.apply(variables, device_batch, train=False)
         output = {k: v.astype(jnp.float32) for k, v in output.items()}

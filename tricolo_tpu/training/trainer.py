@@ -74,9 +74,12 @@ class Trainer:
         (reference mv_cnn.py:44-45 loads pretrained=True)."""
         from ..data.device_prep import prepare_device_batch
 
+        from .steps import _wants_voxel_mask
+
         device_batch = prepare_device_batch(
             {k: v for k, v in sample_batch.items() if isinstance(v, np.ndarray)},
             self.cfg.data.voxel_size,
+            voxel_mask=_wants_voxel_mask(self.cfg),
         )
         init_rng, self.rng = jax.random.split(self.rng)
         variables = jax.jit(self.model.init, static_argnames=("train",))(
@@ -233,12 +236,15 @@ class Trainer:
                 self._timers["validate"] += time.perf_counter() - tic
 
                 # Checkpoint cadence is its own knob (reference
-                # config.yaml:44 every_n_epochs, Lightning semantics: save at
-                # epochs where (epoch+1) % N == 0 *and* the monitored metric
-                # is fresh, i.e. validation just ran). It interpolates to the
-                # val cadence by default, but an explicit override must win.
-                ckpt_every = self.cfg.checkpoint_monitor.get(
-                    "every_n_epochs", val_every
+                # config.yaml:44 every_n_epochs). Like Lightning's
+                # ModelCheckpoint-on-validation-end, saving is gated on the
+                # monitored metric being fresh, so a cadence more frequent
+                # than check_val_every_n_epoch degenerates to the val
+                # cadence; a sparser one skips fresh-val epochs. 0/null
+                # falls back to the val cadence rather than crashing.
+                ckpt_every = (
+                    self.cfg.checkpoint_monitor.get("every_n_epochs", None)
+                    or val_every
                 )
                 if (epoch + 1) % ckpt_every == 0 or epoch == cfg.trainer.max_epochs - 1:
                     tic = time.perf_counter()
