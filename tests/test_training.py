@@ -338,6 +338,18 @@ class TestCheckpointEdgeCases:
         assert kept == ["epoch=0.ckpt", "epoch=1.ckpt", "epoch=2.ckpt"]
         assert mgr.best_path.endswith("epoch=1.ckpt")
 
+    def test_latest_checkpoint_picks_newest_epoch(self, tiny_setup, tmp_path):
+        from tricolo_tpu.training.checkpoint import latest_checkpoint
+
+        assert latest_checkpoint(str(tmp_path)) is None
+        assert latest_checkpoint(str(tmp_path / "missing")) is None
+        cfg, model, tx, mesh, state, batch = tiny_setup
+        mgr = CheckpointManager(str(tmp_path), monitor="m", save_top_k=-1)
+        for epoch, score in ((0, 1.0), (2, 5.0), (10, 3.0)):
+            mgr.save(state, epoch, {"m": score})
+        (tmp_path / "epoch=bogus.ckpt").write_text("x")  # ignored
+        assert latest_checkpoint(str(tmp_path)).endswith("epoch=10.ckpt")
+
 
 class TestCheckpointCadence:
     def test_every_n_epochs_decoupled_from_val_cadence(self, tmp_path):

@@ -60,6 +60,17 @@ def main(argv: list[str] | None = None):
     if cfg.ckpt_name is not None:
         ckpt_path = os.path.join(cfg.experiment_output_path, "training", cfg.ckpt_name)
         assert os.path.exists(ckpt_path), "Error: Checkpoint path does not exists."
+    elif cfg.get("auto_resume", False):
+        # Preemption recovery beyond the reference's manual ckpt_name: pick
+        # the newest surviving checkpoint (or start fresh when none exist),
+        # so re-running the identical command always makes progress.
+        from tricolo_tpu.training.checkpoint import latest_checkpoint
+
+        ckpt_path = latest_checkpoint(
+            os.path.join(cfg.experiment_output_path, "training")
+        )
+        if ckpt_path:
+            print(f"auto_resume: resuming from {ckpt_path}")
 
     trainer = Trainer(cfg)
     data_module = DataModule(cfg)

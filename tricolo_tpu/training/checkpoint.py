@@ -67,6 +67,29 @@ def prune_disabled_encoders(params: dict, cfg) -> dict:
     return pruned
 
 
+def latest_checkpoint(dirpath: str) -> str | None:
+    """Newest surviving ``epoch=N.ckpt`` in a training dir, or None.
+
+    Powers ``+auto_resume=true``: after a preemption, re-running the same
+    train command resumes from here without naming a file. Note top-k
+    retention may have deleted the chronologically newest save — resuming
+    from the newest *surviving* checkpoint just retrains the few epochs
+    since, which is always correct.
+    """
+    if not os.path.isdir(dirpath):
+        return None
+    best: tuple[int, str] | None = None
+    for name in os.listdir(dirpath):
+        if name.startswith("epoch=") and name.endswith(".ckpt"):
+            try:
+                epoch = int(name[len("epoch=") : -len(".ckpt")])
+            except ValueError:
+                continue
+            if best is None or epoch > best[0]:
+                best = (epoch, name)
+    return os.path.join(dirpath, best[1]) if best else None
+
+
 class CheckpointManager:
     """Top-k retention by a monitored metric (mode max or min)."""
 
