@@ -22,6 +22,7 @@ to the v5p the target names.
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -37,7 +38,21 @@ def main():
     from tricolo_tpu.parallel import make_mesh, replicated_sharding, shard_batch
     from tricolo_tpu.training import TrainState, make_optimizer, make_train_step
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--config",
+        choices=("tri", "bi_i", "bi_v"),
+        default="tri",
+        help="tri = flagship Tri(I+V) (the driver-recorded metric); "
+        "bi_i / bi_v time the bimodal variants for PERF.md",
+    )
+    args = ap.parse_args()
+
     cfg = _flagship_cfg()
+    if args.config == "bi_i":
+        cfg.model.voxel_encoder = None
+    elif args.config == "bi_v":
+        cfg.model.image_encoder = None
     cfg.data.batch_size = 128
     # Representative solid-voxel occupancy: ~8k occupied sites of 64³.
     n_points = 8192
