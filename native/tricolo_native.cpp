@@ -184,7 +184,32 @@ bool npy_parse_u8(const std::vector<uint8_t>& buf, size_t* data_offset,
 extern "C" {
 
 // Version tag so the Python binding can detect stale builds.
-int32_t tricolo_native_abi_version() { return 4; }
+int32_t tricolo_native_abi_version() { return 5; }
+
+// Packed (flat, rgb) words -> dense (B, D, D, D) u32 grid (zero elsewhere).
+// The host half of the data.voxel_transfer=dense path: runs per batch in
+// the prefetch thread, so it must outpace the device step (~180 ms in
+// numpy put_along_axis on one core vs <40 ms here). `flat` uses the fixed
+// 256-stride-per-axis host packing; 0xFFFFFFFF entries are padding.
+void tricolo_packed_to_dense(const uint32_t* flat, const uint32_t* rgb,
+                             int64_t batch, int64_t n_points, int64_t d,
+                             uint32_t* grid) {
+  const int64_t d3 = d * d * d;
+  std::memset(grid, 0, static_cast<size_t>(batch) * d3 * sizeof(uint32_t));
+  for (int64_t b = 0; b < batch; ++b) {
+    const uint32_t* f = flat + b * n_points;
+    const uint32_t* c = rgb + b * n_points;
+    uint32_t* g = grid + b * d3;
+    for (int64_t i = 0; i < n_points; ++i) {
+      const uint32_t word = f[i];
+      if (word == 0xFFFFFFFFu) break;  // padding is trailing by contract
+      const int64_t x = (word >> 16) & 0xFF;
+      const int64_t y = (word >> 8) & 0xFF;
+      const int64_t z = word & 0xFF;
+      g[(x * d + y) * d + z] = c[i];
+    }
+  }
+}
 
 // Dense (4, D, D, D) u8 RGBA C-order grid -> packed words. Returns the
 // occupied-site count (may exceed n_cap; only n_cap entries are written).

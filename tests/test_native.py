@@ -136,3 +136,33 @@ class TestDatasetIntegration:
             np.testing.assert_array_equal(
                 ds_native.vision_data[key]["rgb"], ds_numpy.vision_data[key]["rgb"]
             )
+
+
+class TestPackedToDense:
+    def test_matches_numpy_fallback(self):
+        pytest.importorskip("numpy")
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        from tricolo_tpu.data.device_prep import (
+            VOXEL_PAD_SENTINEL,
+            pack_sparse_voxels,
+        )
+
+        rng = np.random.default_rng(3)
+        B, D, n = 4, 16, 64
+        flat = np.full((B, n), VOXEL_PAD_SENTINEL, np.uint32)
+        rgb = np.zeros((B, n), np.uint32)
+        for i in range(B):
+            k = int(rng.integers(1, n))
+            sites = np.sort(rng.choice(D**3, size=k, replace=False))
+            c = np.stack([sites // (D * D), (sites // D) % D, sites % D], 1).astype(np.uint8)
+            f = rng.integers(0, 256, (k, 3), dtype=np.uint8)
+            flat[i], rgb[i] = pack_sparse_voxels(c, f, n)
+        got = native.packed_to_dense(flat, rgb, D)
+        # numpy twin (the densify_on_host fallback path)
+        expect = np.zeros((B, D**3 + 1), np.uint32)
+        x = (flat >> 16) & 0xFF; y = (flat >> 8) & 0xFF; z = flat & 0xFF
+        local = (x.astype(np.int64) * D + y) * D + z
+        local = np.where(flat == VOXEL_PAD_SENTINEL, D**3, local)
+        np.put_along_axis(expect, local, rgb, axis=1)
+        np.testing.assert_array_equal(got, expect[:, :D**3].reshape(B, D, D, D))

@@ -141,11 +141,17 @@ def unpack_dense_voxels(
 def densify_on_host(
     flat_u32: "np.ndarray", rgb_u32: "np.ndarray", voxel_size: int
 ) -> "np.ndarray":
-    """Numpy twin of the device scatter: packed sparse → (B, D, D, D) uint32.
+    """Host twin of the device scatter: packed sparse → (B, D, D, D) uint32.
 
     Used by the collate path when ``data.voxel_transfer=dense``; runs in the
-    prefetch thread, overlapped with device compute.
+    prefetch thread, overlapped with device compute. Dispatches to the C++
+    sweep when available (~5× the numpy put_along_axis path — the prefetch
+    thread must outpace the ~88 ms device step) with numpy as fallback.
     """
+    from .. import native
+
+    if native.available():
+        return native.packed_to_dense(flat_u32, rgb_u32, voxel_size)
     batch, _ = flat_u32.shape
     d3 = voxel_size * voxel_size * voxel_size
     x = (flat_u32 >> 16) & 0xFF

@@ -18,7 +18,7 @@ import subprocess
 
 import numpy as np
 
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(os.path.dirname(_HERE))
 _SRC_DIR = os.path.join(_REPO_ROOT, "native")
@@ -48,6 +48,11 @@ def _bind(lib: ctypes.CDLL):
     lib.tricolo_gzip_decode.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.tricolo_packed_to_dense.restype = None
+    lib.tricolo_packed_to_dense.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p,
+    ]
 
 
 def ensure_built(force: bool = False) -> bool:
@@ -64,7 +69,7 @@ def ensure_built(force: bool = False) -> bool:
                 _lib = lib
                 return True
             needs_build = True
-        except OSError:
+        except (OSError, AttributeError):  # missing lib or missing symbol
             needs_build = True
     try:
         subprocess.run(
@@ -76,7 +81,7 @@ def ensure_built(force: bool = False) -> bool:
             return False
         _lib = lib
         return True
-    except (subprocess.CalledProcessError, OSError, FileNotFoundError):
+    except (subprocess.CalledProcessError, OSError, AttributeError, FileNotFoundError):
         return False
 
 
@@ -104,6 +109,20 @@ def dense_rgba_to_packed(grid: np.ndarray):
         grid.ctypes.data, d, flat.ctypes.data, rgb.ctypes.data, cap
     )
     return flat[:count].copy(), rgb[:count].copy()
+
+
+def packed_to_dense(flat: np.ndarray, rgb: np.ndarray, d: int) -> np.ndarray:
+    """Packed (B, N) u32 pairs → dense (B, d, d, d) u32 grid (C++ sweep)."""
+    if not available():
+        raise RuntimeError("native library unavailable; use the numpy fallback")
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint32)
+    batch, n_points = flat.shape
+    grid = np.empty((batch, d, d, d), np.uint32)
+    _lib.tricolo_packed_to_dense(
+        flat.ctypes.data, rgb.ctypes.data, batch, n_points, d, grid.ctypes.data
+    )
+    return grid
 
 
 def load_npz_voxels_packed(path: str, member: str, n_cap: int | None = None):
