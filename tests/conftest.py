@@ -36,6 +36,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # suite is the default. Markers registered in pyproject.toml.
 _SLOW_MODULES = {
     "test_e2e_oracle",
+    "test_serving",
     "test_efficientnet",
     "test_encoders",
     "test_fused_bn_pool",
