@@ -133,8 +133,12 @@ class TestRetrievalServer:
         assert len(server.query(text="red chair", k=2)) == 2
 
     def test_http_endpoint(self, tiny_server):
+        import socket
+
         cfg, dm, model, variables, batch, server = tiny_server
-        port = 18231
+        with socket.socket() as s:  # grab a free port
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
         thread = threading.Thread(
             target=server.serve_http, args=(port,), kwargs={"max_requests": 3},
             daemon=True,
