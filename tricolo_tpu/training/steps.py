@@ -41,6 +41,20 @@ def _wants_voxel_mask(cfg) -> bool:
     return bool(cfg.model.modules.VoxelCNNEncoder.get("masked_bn", False))
 
 
+def _compiler_options(cfg) -> dict | None:
+    """TPU-only XLA overrides for the step programs.
+
+    Raising the scoped-VMEM budget from the 16 MiB default lets XLA form
+    deeper fusions around the big voxel/image tensors: 87.2 → 84.4 ms/step
+    at 64 MiB on v5e (128 MiB was slightly worse — PERF.md). TPU-only —
+    the flag does not exist on the CPU backend the tests run on.
+    """
+    kib = cfg.precision.get("scoped_vmem_kib", 65536)
+    if not kib or jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(int(kib))}
+
+
 def make_train_step(model, tx, cfg, pair_loss: Callable | None = None):
     """Build the jitted train step: (state, batch, lr, rng) → (state, metrics).
 
@@ -69,7 +83,7 @@ def make_train_step(model, tx, cfg, pair_loss: Callable | None = None):
         new_stats = mutated.get("batch_stats", {})
         return loss_dict["train_loss/total_loss"], (loss_dict, new_stats)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,), compiler_options=_compiler_options(cfg))
     def train_step(state, batch, lr, rng):
         rng = jax.random.fold_in(rng, state.step)
         grads, (loss_dict, new_stats) = jax.grad(loss_fn, has_aux=True)(
@@ -103,7 +117,7 @@ def make_eval_step(model, cfg, with_loss: bool = True):
     voxel_mask = _wants_voxel_mask(cfg)
     loss_pair = make_loss_fn(cfg)
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=_compiler_options(cfg))
     def eval_step(state, batch):
         device_batch = prepare_device_batch(batch, voxel_size, dtype, voxel_mask)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
