@@ -172,3 +172,58 @@ class TestRetrievalServer:
             assert "error" in json.loads(err.read())
         thread.join(timeout=10)
         assert not thread.is_alive()
+
+
+class TestClipTextServing:
+    def test_query_through_stub_backend(self):
+        """CLIP-text mode: BPE-tokenize the query, encode through the frozen
+        backend, L2-normalize, apply the trained MLP head."""
+        from tricolo_tpu.data.device_prep import prepare_device_batch
+        from tricolo_tpu.models.tricolo_net import TriCoLoNet
+        from tricolo_tpu.training import TrainState, make_optimizer
+        import jax.numpy as jnp
+
+        class StubBackend:
+            def encode_text(self, tokens):
+                tokens = np.asarray(tokens, np.float32)
+                out = np.zeros((tokens.shape[0], 768), np.float32)
+                out[:, : tokens.shape[1]] = tokens / 1000.0
+                return out
+
+        cfg = load_config(
+            [
+                "data=synthetic",
+                "model.text_encoder=CLIPTextEncoder",
+                "model.voxel_encoder=VoxelCNNEncoder",
+                "data.voxel_size=32",
+                "data.batch_size=8",
+                "precision.compute_dtype=float32",
+            ]
+        )
+        from tricolo_tpu.data import DataModule
+
+        dm = DataModule(cfg)
+        dm.setup("test")
+        model = TriCoLoNet.from_config(cfg)
+        batch = dm.test_loader().peek()
+        device_batch = prepare_device_batch(
+            {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)},
+            cfg.data.voxel_size,
+        )
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), device_batch)
+        state = TrainState.create(variables, make_optimizer(cfg))
+        server = RetrievalServer(cfg, state, clip_backend=StubBackend())
+        server.build_index(dm)
+        assert server.max_tokens == 77
+        tokens = np.zeros(77, np.int32)
+        tokens[:5] = [49406, 320, 1901, 4159, 49407]  # BPE ids for a short query
+        results = server.query(tokens=tokens, k=3)
+        assert len(results) == 3
+        # determinism: same tokens → same ranking
+        assert server.query(tokens=tokens, k=3) == results
+        # raw text needs the BPE merges file (absent in this environment) —
+        # must fail with the tokenizer's descriptive error, not something cryptic
+        import os
+        if not os.environ.get("TRICOLO_CLIP_BPE"):
+            with pytest.raises(FileNotFoundError, match="BPE"):
+                server.query(text="a gray swivel chair")

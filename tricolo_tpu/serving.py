@@ -20,9 +20,10 @@ module adds the production path the framework is meant to serve:
   endpoint (POST /retrieve {"query"|"tokens", "k"}).
 
 Query-time batch is 1; the encoder jit warms once per (padded) length
-bucket. Only the BiGRU text encoder supports raw-text serving — the CLIP
-text path consumes precached frozen-CLIP features and would need the
-ViT-L/14 backbone online.
+bucket. BiGRU queries run fully on device; the CLIPTextEncoder variant
+encodes queries through the frozen CLIP backend on host (the same local
+HF checkpoint extraction uses) before the trained MLP head — raw text
+additionally needs the BPE merges file (TRICOLO_CLIP_BPE).
 """
 
 from __future__ import annotations
@@ -103,49 +104,79 @@ class RetrievalIndex:
         return [(self.model_ids[i], float(sims[i])) for i in order]
 
 
-def _text_encoder_apply(cfg):
-    """(apply_fn, max_tokens): jitted standalone text encoder sharing the
+def _text_encoder_apply(cfg, clip_backend=None):
+    """(apply_fn, max_tokens): standalone text-query encoder sharing the
     TriCoLoNet text_encoder param subtree (encoders are self-contained
-    submodules, so the subtree is a complete parameter set)."""
+    submodules, so the subtree is a complete parameter set).
+
+    BiGRU: jitted embed→GRU→fc on device. CLIPTextEncoder: frozen CLIP
+    `encode_text` on host (the local HF checkpoint extraction uses,
+    `model.modules.clip_model`) → L2-normalize → the trained MLP head —
+    the same pipeline that produced the cached training features
+    (clip/extract.py), applied to a live query.
+    """
     import jax
     import jax.numpy as jnp
 
-    from .models.bigru import BiGRUEncoder
-
-    if (cfg.model.text_encoder or "BiGRUEncoder") != "BiGRUEncoder":
-        raise NotImplementedError(
-            "raw-text serving requires the BiGRU text encoder; the CLIP text "
-            "path consumes precached frozen-CLIP features (clip_heads.py)"
-        )
     modules = cfg.model.modules
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         cfg.precision.compute_dtype
     ]
-    encoder = BiGRUEncoder(
-        vocab_size=modules.BiGRUEncoder.vocab_size,
-        out_dim=cfg.model.out_dim,
-        embed_dim=modules.BiGRUEncoder.embed_dim,
-        hidden_dim=modules.BiGRUEncoder.hidden_dim,
-        dtype=dtype,
-    )
+    name = cfg.model.text_encoder or "BiGRUEncoder"
 
-    @jax.jit
-    def apply(text_params, tokens):
-        return encoder.apply({"params": text_params}, tokens)
+    if name == "BiGRUEncoder":
+        from .models.bigru import BiGRUEncoder
 
-    return apply, cfg.data.get("max_tokens", 96)
+        encoder = BiGRUEncoder(
+            vocab_size=modules.BiGRUEncoder.vocab_size,
+            out_dim=cfg.model.out_dim,
+            embed_dim=modules.BiGRUEncoder.embed_dim,
+            hidden_dim=modules.BiGRUEncoder.hidden_dim,
+            dtype=dtype,
+        )
+
+        @jax.jit
+        def apply(text_params, tokens):
+            return encoder.apply({"params": text_params}, tokens)
+
+        return apply, cfg.data.get("max_tokens", 96)
+
+    if name == "CLIPTextEncoder":
+        from .clip.extract import TransformersClipBackend, _l2
+        from .models.clip_heads import CLIPTextEncoder
+
+        backend = clip_backend or TransformersClipBackend(modules.clip_model)
+        head = CLIPTextEncoder(
+            out_dim=cfg.model.out_dim,
+            feature_dim=modules.clip_feature_dim,
+            dropout=modules.CLIPTextEncoder.dropout,
+            dtype=dtype,
+        )
+
+        def apply(text_params, tokens):
+            feats = _l2(backend.encode_text(np.asarray(tokens)))
+            return head.apply(
+                {"params": text_params}, jnp.asarray(feats), deterministic=True
+            )
+
+        from .clip.tokenizer import CONTEXT_LENGTH
+
+        return apply, CONTEXT_LENGTH
+
+    raise NotImplementedError(f"no serving path for text encoder {name!r}")
 
 
 class RetrievalServer:
     """Answer text queries against a built shape index."""
 
     def __init__(self, cfg, state, index: RetrievalIndex | None = None,
-                 tokenizer: TextTokenizer | None = None):
+                 tokenizer: TextTokenizer | None = None, clip_backend=None):
         self.cfg = cfg
         self.state = state
         self.index = index
         self.tokenizer = tokenizer
-        self._apply, self.max_tokens = _text_encoder_apply(cfg)
+        self._clip_text = (cfg.model.text_encoder or "BiGRUEncoder") == "CLIPTextEncoder"
+        self._apply, self.max_tokens = _text_encoder_apply(cfg, clip_backend)
 
     # -- construction -----------------------------------------------------
 
@@ -190,12 +221,19 @@ class RetrievalServer:
         if tokens is None:
             if text is None:
                 raise ValueError("provide text or tokens")
-            if self.tokenizer is None:
+            if self._clip_text:
+                # CLIP mode tokenizes with the in-repo BPE (the ids the
+                # frozen backend expects) — no external vocabulary needed.
+                from .clip.tokenizer import tokenize as clip_tokenize
+
+                tokens = np.asarray(clip_tokenize(text), np.int32)
+            elif self.tokenizer is None:
                 raise RuntimeError(
                     "raw-text queries need a vocabulary — pass +vocab_path "
                     "(shapenet.json with idx_to_word) or query with tokens"
                 )
-            tokens = self.tokenizer(text, self.max_tokens)
+            else:
+                tokens = self.tokenizer(text, self.max_tokens)
         emb = self.embed_text(np.asarray(tokens))[0]
         return self.index.topk(emb, k)
 
