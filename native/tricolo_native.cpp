@@ -206,6 +206,10 @@ void tricolo_packed_to_dense(const uint32_t* flat, const uint32_t* rgb,
       const int64_t x = (word >> 16) & 0xFF;
       const int64_t y = (word >> 8) & 0xFF;
       const int64_t z = word & 0xFF;
+      // Out-of-range coordinates (e.g. a packed cache built at a larger
+      // voxel_size) are skipped — the numpy fallback raises and the device
+      // scatter drops them; a heap write here would corrupt memory.
+      if (x >= d || y >= d || z >= d) continue;
       g[(x * d + y) * d + z] = c[i];
     }
   }

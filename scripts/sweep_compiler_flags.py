@@ -27,22 +27,15 @@ import jax.numpy as jnp
 def measure(extra_options: dict, iters: int = 30) -> float:
     """ms/step of the flagship train step under the given XLA options
     (always on top of the shipped scoped-VMEM default)."""
-    import importlib
-
     import tricolo_tpu.training.steps as steps
 
-    orig_jit = jax.jit
-
-    def patched_jit(*a, **k):
-        if k.get("compiler_options") is None:
-            k["compiler_options"] = {}
-        k["compiler_options"].update(
-            {"xla_tpu_scoped_vmem_limit_kib": "65536", **extra_options}
-        )
-        return orig_jit(*a, **k)
-
-    steps.jax.jit = patched_jit
-    importlib.reload(steps)
+    # Scope the override to exactly the step programs (patching jax.jit
+    # process-wide would inject the options into every unrelated jit).
+    orig_opts = steps._compiler_options
+    steps._compiler_options = lambda cfg: {
+        "xla_tpu_scoped_vmem_limit_kib": "65536",
+        **extra_options,
+    }
     try:
         from __graft_entry__ import _flagship_cfg, _host_batch
         from tricolo_tpu.data.device_prep import densify_on_host, prepare_device_batch
@@ -51,7 +44,6 @@ def measure(extra_options: dict, iters: int = 30) -> float:
 
         cfg = _flagship_cfg()
         cfg.data.batch_size = 128
-        cfg.precision.scoped_vmem_kib = 0  # options come from the patch
         model = TriCoLoNet.from_config(cfg)
         tx = make_optimizer(cfg)
         train_step = steps.make_train_step(model, tx, cfg)
@@ -76,8 +68,7 @@ def measure(extra_options: dict, iters: int = 30) -> float:
         float(losses["train_loss/total_loss"])
         return (time.perf_counter() - tic) / iters * 1000
     finally:
-        steps.jax.jit = orig_jit
-        importlib.reload(steps)
+        steps._compiler_options = orig_opts
 
 
 def main():

@@ -56,15 +56,18 @@ def main(argv: list[str] | None = None):
     server = RetrievalServer.from_checkpoint(cfg, ckpt_path, tokenizer=tokenizer)
 
     index_path = cfg.get("index_path", None)
+    if index_path:
+        index_path = RetrievalIndex._norm_path(index_path)
     if index_path and os.path.exists(index_path):
-        server.index = RetrievalIndex.load(index_path)
+        # Provenance: refuse an index built from a different checkpoint.
+        server.index = RetrievalIndex.load(index_path, expect_provenance=ckpt_path)
         print(f"index loaded from {index_path} ({len(server.index.model_ids)} models)")
     else:
         server.build_index(DataModule(cfg))
         print(f"index built: {len(server.index.model_ids)} models")
         if index_path:
-            server.index.save(index_path)
-            print(f"index saved to {index_path}")
+            saved = server.index.save(index_path, provenance=ckpt_path)
+            print(f"index saved to {saved}")
 
     query_tokens = cfg.get("query_tokens", None)
     query = cfg.get("query", None)

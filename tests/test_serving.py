@@ -144,9 +144,23 @@ class TestRetrievalServer:
             daemon=True,
         )
         thread.start()
-        health = json.loads(
-            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30).read()
-        )
+        # Poll until the server socket is actually listening (bind happens
+        # inside the thread — connecting immediately would race it).
+        import time
+
+        health = None
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                health = json.loads(
+                    urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=30
+                    ).read()
+                )
+                break
+            except (ConnectionError, urllib.error.URLError):
+                time.sleep(0.1)
+        assert health is not None, "server never came up"
         assert health["status"] == "ok"
         assert health["index_size"] == len(server.index.model_ids)
 

@@ -56,6 +56,13 @@ class TextTokenizer:
     def __call__(self, text: str, max_tokens: int) -> np.ndarray:
         words = re.findall(r"[a-z0-9]+(?:'[a-z]+)?", text.lower())
         ids = [self.word_to_idx[w] for w in words if w in self.word_to_idx]
+        if words and not ids:
+            # An all-padding query would still produce a fixed embedding and
+            # a confident-looking ranking — fail loudly instead.
+            raise ValueError(
+                f"no word of {text!r} is in the vocabulary; the query would "
+                "be empty"
+            )
         out = np.zeros(max_tokens, dtype=np.int32)
         ids = ids[:max_tokens]
         out[: len(ids)] = ids
@@ -88,16 +95,38 @@ class RetrievalIndex:
             rows.append(np.asarray(shape, np.float32))
         return cls(ids, np.stack(rows))
 
-    def save(self, path: str) -> None:
-        np.savez(path, model_ids=np.asarray(self.model_ids), matrix=self.matrix)
+    @staticmethod
+    def _norm_path(path: str) -> str:
+        # np.savez always appends ".npz"; normalize so save/exists/load agree.
+        return path if path.endswith(".npz") else path + ".npz"
+
+    def save(self, path: str, provenance: str = "") -> str:
+        path = self._norm_path(path)
+        np.savez(
+            path,
+            model_ids=np.asarray(self.model_ids),
+            matrix=self.matrix,
+            provenance=np.asarray(provenance),
+        )
+        return path
 
     @classmethod
-    def load(cls, path: str) -> "RetrievalIndex":
-        data = np.load(path, allow_pickle=False)
+    def load(cls, path: str, expect_provenance: str | None = None) -> "RetrievalIndex":
+        data = np.load(cls._norm_path(path), allow_pickle=False)
+        if expect_provenance is not None and "provenance" in data:
+            found = str(data["provenance"])
+            if found and found != expect_provenance:
+                raise ValueError(
+                    f"index was built from {found!r} but the server loaded "
+                    f"{expect_provenance!r} — rebuild the index or drop "
+                    "+index_path"
+                )
         return cls([str(m) for m in data["model_ids"]], data["matrix"])
 
     def topk(self, query_embedding: np.ndarray, k: int = 5):
         """Top-k (model_id, similarity) by the evaluator's raw dot product."""
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
         sims = self.matrix @ np.asarray(query_embedding, np.float32)
         k = min(k, len(self.model_ids))
         order = np.argsort(-sims)[:k]
@@ -239,13 +268,17 @@ class RetrievalServer:
 
     # -- HTTP -------------------------------------------------------------
 
-    def serve_http(self, port: int, max_requests: int | None = None) -> None:
+    def serve_http(
+        self, port: int, host: str = "127.0.0.1", max_requests: int | None = None
+    ) -> None:
         """Blocking stdlib HTTP endpoint.
 
         POST /retrieve {"query": str | "tokens": [int], "k": int} →
         {"results": [{"model_id": ..., "similarity": ...}]};
         GET /healthz → {"status": "ok", "index_size": N}.
-        ``max_requests`` bounds the loop (used by tests).
+        ``max_requests`` bounds the loop (used by tests). Binds localhost by
+        default — the endpoint is unauthenticated and single-threaded; put a
+        real proxy in front before exposing it (`host="0.0.0.0"`).
         """
         import http.server
 
@@ -294,7 +327,7 @@ class RetrievalServer:
             def log_message(self, *args: Any) -> None:
                 pass  # quiet; the CLI prints the serving banner
 
-        httpd = http.server.HTTPServer(("0.0.0.0", port), Handler)
+        httpd = http.server.HTTPServer((host, port), Handler)
         if max_requests is None:
             httpd.serve_forever()
         else:

@@ -24,7 +24,12 @@ from flax import serialization
 
 
 def save_checkpoint(path: str, state, epoch: int, extra: dict | None = None):
-    """Serialize train state (+ counters) to ``path``."""
+    """Serialize train state (+ counters) to ``path`` atomically.
+
+    Write-to-temp + os.replace so a preemption mid-save never leaves a
+    truncated file at the final path — auto_resume picks the newest
+    ``epoch=N.ckpt`` and must be able to trust it (latest_checkpoint).
+    """
     payload = {
         "step": np.asarray(state.step),
         "params": jax.device_get(state.params),
@@ -34,8 +39,10 @@ def save_checkpoint(path: str, state, epoch: int, extra: dict | None = None):
         "extra": extra or {},
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(payload))
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, template: dict | None = None) -> dict:
