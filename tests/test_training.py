@@ -322,6 +322,62 @@ class TestPretrainedGraft:
         np.testing.assert_allclose(got_stat, sd["bn1.running_mean"], rtol=1e-6)
 
 
+class TestResumeFidelity:
+    def test_interrupted_plus_resume_equals_straight_run(self, tmp_path):
+        """Checkpoint/resume must be lossless: train 4 epochs straight vs
+        2 epochs + resume for 2 more — final params, opt state, BN stats
+        and step counter must match exactly (f32, no dropout — the only
+        intentionally unresumed state is the dropout stream).
+
+        Pins the full checkpoint payload (params/opt_state/batch_stats/
+        step/epoch), the seeded per-epoch shuffle, and the lr schedule
+        under resume — the machinery auto_resume relies on."""
+        from tricolo_tpu.data import DataModule
+        from tricolo_tpu.training.trainer import Trainer
+
+        def cfg_for(name, epochs):
+            return load_config(
+                [
+                    "data=synthetic",
+                    "model.voxel_encoder=VoxelCNNEncoder",
+                    "precision.compute_dtype=float32",
+                    f"trainer.max_epochs={epochs}",
+                    "trainer.check_val_every_n_epoch=2",
+                    "trainer.log_every_n_steps=1",
+                    "trainer.profiler=none",
+                    "checkpoint_monitor.save_top_k=-1",
+                    f"project_root_path={tmp_path}",
+                    f"experiment_name={name}",
+                ]
+            )
+
+        cfg_a = cfg_for("straight", 4)
+        state_a, _ = Trainer(cfg_a).fit(DataModule(cfg_a))
+
+        cfg_b1 = cfg_for("resumed", 2)
+        Trainer(cfg_b1).fit(DataModule(cfg_b1))
+        ckpt = os.path.join(
+            cfg_b1.experiment_output_path, "training", "epoch=1.ckpt"
+        )
+        assert os.path.exists(ckpt)
+        cfg_b2 = cfg_for("resumed", 4)
+        state_b, _ = Trainer(cfg_b2).fit(DataModule(cfg_b2), resume_ckpt=ckpt)
+
+        assert int(np.asarray(state_a.step)) == int(np.asarray(state_b.step))
+        for tree_a, tree_b, name in (
+            (state_a.params, state_b.params, "params"),
+            (state_a.batch_stats, state_b.batch_stats, "batch_stats"),
+            (state_a.opt_state, state_b.opt_state, "opt_state"),
+        ):
+            leaves_a = jax.tree.leaves(tree_a)
+            leaves_b = jax.tree.leaves(tree_b)
+            assert len(leaves_a) == len(leaves_b)
+            for la, lb in zip(leaves_a, leaves_b):
+                np.testing.assert_array_equal(
+                    np.asarray(la), np.asarray(lb), err_msg=name
+                )
+
+
 class TestCheckpointEdgeCases:
     def test_save_top_k_zero_disables(self, tiny_setup, tmp_path):
         cfg, model, tx, mesh, state, batch = tiny_setup
