@@ -241,3 +241,53 @@ class TestClipTextServing:
         if not os.environ.get("TRICOLO_CLIP_BPE"):
             with pytest.raises(FileNotFoundError, match="BPE"):
                 server.query(text="a gray swivel chair")
+
+
+class TestImageQuery:
+    def test_query_image_matches_model_features(self):
+        import jax.numpy as jnp
+
+        from tricolo_tpu.data import DataModule
+        from tricolo_tpu.data.device_prep import prepare_device_batch
+        from tricolo_tpu.models.tricolo_net import TriCoLoNet
+        from tricolo_tpu.training import TrainState, make_optimizer
+
+        cfg = load_config(
+            [
+                "data=synthetic",
+                "model.voxel_encoder=VoxelCNNEncoder",
+                "model.image_encoder=MVCNNEncoder",
+                "data.voxel_size=32",
+                "data.image_size=32",
+                "data.num_views=2",
+                "data.batch_size=8",
+                "precision.compute_dtype=float32",
+            ]
+        )
+        dm = DataModule(cfg)
+        dm.setup("test")
+        model = TriCoLoNet.from_config(cfg)
+        batch = dm.test_loader().peek()
+        device_batch = prepare_device_batch(
+            {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)},
+            cfg.data.voxel_size,
+        )
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), device_batch)
+        state = TrainState.create(variables, make_optimizer(cfg))
+        server = RetrievalServer(cfg, state)
+        server.build_index(dm)
+
+        # Standalone image-query embedding must equal the full model's
+        # image_features for the same views (f32, eval mode).
+        expected = np.asarray(
+            model.apply(variables, device_batch)["image_features"], np.float32
+        )
+        results = server.query_image(batch["images"][0], k=3)
+        assert len(results) == 3
+        sims_direct = server.index.topk(expected[0], k=3)
+        assert [m for m, _ in results] == [m for m, _ in sims_direct]
+
+    def test_query_image_without_image_encoder_raises(self, tiny_server):
+        cfg, dm, model, variables, batch, server = tiny_server
+        with pytest.raises(NotImplementedError, match="MVCNN"):
+            server.query_image(np.zeros((2, 32, 32, 3), np.uint8))

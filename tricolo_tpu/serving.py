@@ -195,6 +195,44 @@ def _text_encoder_apply(cfg, clip_backend=None):
     raise NotImplementedError(f"no serving path for text encoder {name!r}")
 
 
+def _image_encoder_apply(cfg):
+    """Jitted standalone MVCNN for query-by-example images, sharing the
+    TriCoLoNet image_encoder param subtree. None when the config has no
+    trainable image encoder (CLIPImageEncoder consumes precached features)."""
+    if cfg.model.image_encoder != "MVCNNEncoder":
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from .data.device_prep import normalize_images
+    from .models.mvcnn import MVCNNEncoder
+
+    modules = cfg.model.modules
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        cfg.precision.compute_dtype
+    ]
+    encoder = MVCNNEncoder(
+        num_views=modules.MVCNNEncoder.num_views,
+        z_dim=modules.MVCNNEncoder.z_dim,
+        out_dim=cfg.model.out_dim,
+        cnn_name=modules.MVCNNEncoder.cnn_name,
+        dtype=dtype,
+    )
+
+    @jax.jit
+    def apply(image_params, views_u8):
+        views = normalize_images(views_u8, dtype)
+        return encoder.apply(
+            {
+                "params": image_params["params"],
+                "batch_stats": image_params["batch_stats"],
+            },
+            views,
+        )
+
+    return apply
+
+
 class RetrievalServer:
     """Answer text queries against a built shape index."""
 
@@ -206,6 +244,7 @@ class RetrievalServer:
         self.tokenizer = tokenizer
         self._clip_text = (cfg.model.text_encoder or "BiGRUEncoder") == "CLIPTextEncoder"
         self._apply, self.max_tokens = _text_encoder_apply(cfg, clip_backend)
+        self._image_apply = _image_encoder_apply(cfg)
 
     # -- construction -----------------------------------------------------
 
@@ -264,6 +303,34 @@ class RetrievalServer:
             else:
                 tokens = self.tokenizer(text, self.max_tokens)
         emb = self.embed_text(np.asarray(tokens))[0]
+        return self.index.topk(emb, k)
+
+    def query_image(self, views_u8: np.ndarray, k: int = 5):
+        """Top-k shapes for a query-by-example: ``views_u8`` is one sample's
+        (num_views, H, W, 3) uint8 multi-view renders, embedded through the
+        trained MVCNN (image features share the contrastive space with the
+        indexed shape embeddings via the image-voxel/image-text pair losses,
+        reference tricolo_net.py:56-65)."""
+        if self.index is None:
+            raise RuntimeError("no index built — call build_index() first")
+        if self._image_apply is None:
+            raise NotImplementedError(
+                "query_image needs a trained MVCNN image encoder "
+                "(model.image_encoder=MVCNNEncoder)"
+            )
+        views = np.asarray(views_u8, np.uint8)
+        if views.ndim == 4:
+            views = views[None]
+        emb = np.asarray(
+            self._image_apply(
+                {
+                    "params": self.state.params["image_encoder"],
+                    "batch_stats": self.state.batch_stats.get("image_encoder", {}),
+                },
+                views,
+            ),
+            np.float32,
+        )[0]
         return self.index.topk(emb, k)
 
     # -- HTTP -------------------------------------------------------------
