@@ -133,6 +133,22 @@ class TestMetricsOracle:
         np.testing.assert_allclose(metrics.ndcg, ndcg, rtol=1e-12)
         assert metrics.mrr == pytest.approx(mrr, rel=1e-12)
 
+    def test_truncated_n_neighbors(self):
+        """n_neighbors smaller than the retrieved width must truncate the
+        indices (regression: (Q,5) relevance broadcast against (3,) crashed)
+        and agree with the oracle at the smaller k."""
+        rng = np.random.default_rng(3)
+        d = make_embeddings_dict(rng, n_models=9, captions_per_model=3, dim=8)
+        text, shape, labels, fit_labels, _ = construct_embeddings_matrix(d)
+        _, idx, sort_idx = compute_nearest_neighbors(shape, text, 5)
+        metrics = compute_pr_at_k(idx, sort_idx, labels, 3, fit_labels)
+        p, r, rr, ndcg, mrr = oracle_metrics(
+            idx[:, :3], sort_idx, labels, fit_labels, 3
+        )
+        np.testing.assert_allclose(metrics.precision, p, rtol=1e-12)
+        np.testing.assert_allclose(metrics.recall_rate, rr, rtol=1e-12)
+        np.testing.assert_allclose(metrics.ndcg, ndcg, rtol=1e-12)
+
     def test_perfect_retrieval_self_removed(self):
         # One caption per model, text == shape embedding → fit equals query,
         # so each query's self-match is removed from top-k; with unique
@@ -184,7 +200,7 @@ class TestDeviceEval:
         rng = np.random.default_rng(seed)
         d = make_embeddings_dict(rng, n_models=13, captions_per_model=3, dim=24)
         expect = compute_metrics(d, nearest_path=None)
-        got, top_k, top_sims = compute_metrics_on_device(d)
+        got, top_k, top_sims, _ = compute_metrics_on_device(d)
         np.testing.assert_allclose(got.precision, expect.precision, rtol=1e-5)
         np.testing.assert_allclose(got.recall, expect.recall, rtol=1e-5)
         np.testing.assert_allclose(got.recall_rate, expect.recall_rate, rtol=1e-5)
@@ -208,7 +224,7 @@ class TestDeviceEval:
             for i in range(6)
         ]
         expect = compute_metrics({"caption_embedding_tuples": tuples}, nearest_path=None)
-        got, top_k, _ = compute_metrics_on_device({"caption_embedding_tuples": tuples})
+        got, top_k, _, _ = compute_metrics_on_device({"caption_embedding_tuples": tuples})
         text, shape, labels, fit_labels, _ = construct_embeddings_matrix(
             {"caption_embedding_tuples": tuples}
         )

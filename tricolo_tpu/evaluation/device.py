@@ -67,14 +67,15 @@ def _device_metrics(text_matrix, shape_matrix, labels, n_neighbors: int = N_NEIG
 
 def compute_metrics_on_device(
     embeddings_dict, n_neighbors: int = N_NEIGHBORS
-) -> tuple[RetrievalMetrics, np.ndarray, np.ndarray]:
+) -> tuple[RetrievalMetrics, np.ndarray, np.ndarray, dict]:
     """Device twin of retrieval.compute_metrics (no artifact writing).
 
-    Returns (metrics, top_k indices, top_k similarities); the caller can
-    feed the latter two to write_nearest_info.
+    Returns (metrics, top_k indices, top_k similarities, label→model_id);
+    the caller can feed the latter three to write_nearest_info without
+    rebuilding the embedding matrices.
     """
-    text_matrix, shape_matrix, labels, _, _ = construct_embeddings_matrix(
-        embeddings_dict
+    text_matrix, shape_matrix, labels, _, label_to_model_id = (
+        construct_embeddings_matrix(embeddings_dict)
     )
     out = _device_metrics(
         jnp.asarray(text_matrix, jnp.float32),
@@ -89,4 +90,9 @@ def compute_metrics_on_device(
         ndcg=np.asarray(out["ndcg"], np.float64),
         mrr=float(out["mrr"]),
     )
-    return metrics, np.asarray(out["top_k"]), np.asarray(out["top_k_sims"])
+    return (
+        metrics,
+        np.asarray(out["top_k"]),
+        np.asarray(out["top_k_sims"]),
+        label_to_model_id,
+    )

@@ -58,19 +58,35 @@ def gt_scale_factor(gt_vertices: np.ndarray, target: float = SCALE_TARGET) -> fl
     return float(target / extent.max())
 
 
+_block_min = None
+
+
+def _get_block_min():
+    """Module-level jitted kernel: defining it per call would defeat jit's
+    cache (fresh function object ⇒ retrace) and recompile the 2048×N
+    distance program for every query of an F1 sweep."""
+    global _block_min
+    if _block_min is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def block_min(a_block, b, b_sq):
+            a_sq = jnp.sum(a_block * a_block, axis=1)
+            d2 = a_sq[:, None] - 2.0 * (a_block @ b.T) + b_sq[None, :]
+            return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+
+        _block_min = block_min
+    return _block_min
+
+
 def _min_dists_chunked(a: np.ndarray, b: np.ndarray, chunk: int = 2048) -> np.ndarray:
     """For each row of ``a``: distance to its nearest neighbor in ``b``."""
-    import jax
     import jax.numpy as jnp
 
+    block_min = _get_block_min()
     b = jnp.asarray(b)
     b_sq = jnp.sum(b * b, axis=1)
-
-    @jax.jit
-    def block_min(a_block):
-        a_sq = jnp.sum(a_block * a_block, axis=1)
-        d2 = a_sq[:, None] - 2.0 * (a_block @ b.T) + b_sq[None, :]
-        return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
 
     out = []
     for start in range(0, a.shape[0], chunk):
@@ -78,7 +94,9 @@ def _min_dists_chunked(a: np.ndarray, b: np.ndarray, chunk: int = 2048) -> np.nd
         pad = chunk - block.shape[0]
         if pad:  # static shape per chunk → one compile
             block = np.pad(block, ((0, pad), (0, 0)))
-        out.append(np.asarray(block_min(jnp.asarray(block)))[: chunk - pad or None])
+        out.append(
+            np.asarray(block_min(jnp.asarray(block), b, b_sq))[: chunk - pad or None]
+        )
     return np.concatenate(out)[: a.shape[0]]
 
 
@@ -112,13 +130,22 @@ class PointCache:
         return os.path.exists(self.path(model_id))
 
     def get_or_sample(
-        self, model_id: str, obj_path: str, scale: float, num_samples: int = NUM_SAMPLES
+        self,
+        model_id: str,
+        obj_path: str,
+        scale: float,
+        num_samples: int = NUM_SAMPLES,
+        mesh: tuple | None = None,
     ) -> np.ndarray:
+        """``mesh`` = already-parsed (vertices, faces), avoiding a second
+        OBJ parse when the caller loaded the file for the scale factor."""
         if self.has(model_id):
             return np.load(self.path(model_id))
-        from ..data.render import load_obj
+        if mesh is None:
+            from ..data.render import load_obj
 
-        vertices, faces = load_obj(obj_path)
+            mesh = load_obj(obj_path)
+        vertices, faces = mesh
         points = sample_points_on_mesh(vertices * scale, faces, num_samples)
         os.makedirs(self.cache_dir, exist_ok=True)
         np.save(self.path(model_id), points)
@@ -142,12 +169,13 @@ def mesh_f1_for_query(
             "models", "model_normalized.obj",
         )
 
+    gt_mesh = None
     if cache.has(gt_id) and cache.has(pred_id):
         scale = 1.0  # cached points already carry their scale (quirk noted above)
     else:
-        gt_vertices, _ = load_obj(obj_path(gt_id))
-        scale = gt_scale_factor(gt_vertices)
-    gt_points = cache.get_or_sample(gt_id, obj_path(gt_id), scale)
+        gt_mesh = load_obj(obj_path(gt_id))
+        scale = gt_scale_factor(gt_mesh[0])
+    gt_points = cache.get_or_sample(gt_id, obj_path(gt_id), scale, mesh=gt_mesh)
     pred_points = cache.get_or_sample(pred_id, obj_path(pred_id), scale)
     return f1_between_point_sets(pred_points, gt_points, (threshold,))[threshold]
 

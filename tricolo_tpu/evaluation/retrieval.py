@@ -130,7 +130,8 @@ def _rank_block(
     similarities = query_block @ fit_matrix.T
     sort_indices = np.flip(np.argsort(similarities, axis=1, kind="stable"), 1)
     indices = sort_indices[:, :k]
-    distances = np.flip(np.sort(similarities, axis=1)[:, -k:], 1)
+    # Gather through the argsort instead of a second full O(Q·M log M) sort.
+    distances = np.take_along_axis(similarities, indices, axis=1)
 
     if fit_eq_query:
         n_neighbors = min(n_neighbors, fit_matrix.shape[0] - 1)
@@ -199,6 +200,10 @@ def compute_pr_at_k(
     fit_labels = np.asarray(fit_labels)
     num_embeddings = labels.shape[0]
     n_neighbors = min(n_neighbors, indices.shape[1])
+    # Truncate retrieved columns to n_neighbors (the reference's Python loop
+    # does this implicitly; without it a smaller n_neighbors broadcasts
+    # (Q, k) against (n_neighbors,) and crashes).
+    indices = indices[:, :n_neighbors]
 
     # Binary relevance of each retrieved neighbor.
     nearest_classes = fit_labels[indices]  # (Q, k)

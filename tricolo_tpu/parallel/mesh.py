@@ -54,7 +54,12 @@ def shard_batch(batch: Mapping[str, Any], mesh: Mesh) -> dict:
     sharding = batch_sharding(mesh)
     out = {}
     for key, value in batch.items():
-        if isinstance(value, np.ndarray):
+        if isinstance(value, (np.ndarray, jax.Array)):
+            if value.ndim == 0:
+                raise ValueError(
+                    f"batch entry {key!r} is 0-d — scalars like num_valid "
+                    "stay on host (plain python ints)"
+                )
             if value.shape[0] % mesh.size != 0:
                 raise ValueError(
                     f"batch axis {value.shape[0]} of {key!r} not divisible by "

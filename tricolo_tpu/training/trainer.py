@@ -25,7 +25,6 @@ from ..data.loader import DataModule
 from ..models.tricolo_net import TriCoLoNet
 from ..parallel import make_mesh, shard_batch
 from ..evaluation import compute_metrics, compute_metrics_on_device, write_nearest_info
-from ..evaluation.retrieval import construct_embeddings_matrix
 from .checkpoint import CheckpointManager, load_checkpoint, prune_disabled_encoders
 from .logger import MetricsLogger
 from .optim import lr_for_epoch, make_optimizer
@@ -294,9 +293,10 @@ class Trainer:
             return compute_metrics(
                 embeddings_dict, nearest_path=nearest_path, print_results=print_results
             )
-        metrics, top_k, top_sims = compute_metrics_on_device(embeddings_dict)
+        metrics, top_k, top_sims, label_to_model_id = compute_metrics_on_device(
+            embeddings_dict
+        )
         if nearest_path:
-            _, _, _, _, label_to_model_id = construct_embeddings_matrix(embeddings_dict)
             write_nearest_info(
                 embeddings_dict["caption_embedding_tuples"],
                 top_k,
