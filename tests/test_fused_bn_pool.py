@@ -25,6 +25,16 @@ def _rand(rng, shape):
     return jnp.asarray(rng.normal(size=shape).astype(np.float32))
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _isolate_interpret_mode_state():
+    """See tests/test_ops.py: interpret-mode pallas_call state can abort
+    later shard_map programs in-process; clear jax caches on module exit."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 class TestFusedOp:
     def test_forward_matches_reference(self):
         rng = np.random.default_rng(0)

@@ -19,6 +19,19 @@ def random_pair(seed, batch=32, dim=16):
     return jnp.asarray(zis), jnp.asarray(zjs)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _isolate_interpret_mode_state():
+    """Interpret-mode pallas_call leaves runtime state that intermittently
+    aborts later shard_map programs in the same process (reproduced:
+    test_ops + test_parallel's fsdp step -> 'Fatal Python error: Aborted'
+    inside XLA:CPU; jax 0.9.0). Clearing jax's caches after this module
+    drops the poisoned executables/callbacks."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 class TestPallasNTXent:
     @pytest.mark.parametrize("alpha", [0.25, 0.5])
     @pytest.mark.parametrize("batch", [16, 32, 64])
