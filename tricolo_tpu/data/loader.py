@@ -31,6 +31,8 @@ def collate(
     max_voxel_points: int,
     voxel_transfer: str = "packed",
     voxel_size: int = 64,
+    with_images: bool = True,
+    with_voxels: bool = True,
 ) -> dict[str, Any]:
     """Stack items into one fixed-shape numpy batch.
 
@@ -62,13 +64,19 @@ def collate(
         "model_id": [item["model_id"] for item in items],
         "category": [item["category"] for item in items],
         "tokens": np.stack([item["tokens"] for item in items]).astype(np.int32),
-        "images": np.stack([item["images"] for item in items]),
     }
-    if voxel_transfer == "dense":
-        batch["voxel_grid"] = densify_on_host(flat, rgb, voxel_size)
-    else:
-        batch["voxel_flat"] = flat
-        batch["voxel_rgb"] = rgb
+    # Disabled modalities are not collated or shipped: a voxel-only run
+    # saves ~38 MB/batch of image H2D, an image-only run the voxel words
+    # (or the 134 MB/batch dense grid) — XLA would DCE the compute anyway,
+    # but the host collation and transfer are pure waste.
+    if with_images:
+        batch["images"] = np.stack([item["images"] for item in items])
+    if with_voxels:
+        if voxel_transfer == "dense":
+            batch["voxel_grid"] = densify_on_host(flat, rgb, voxel_size)
+        else:
+            batch["voxel_flat"] = flat
+            batch["voxel_rgb"] = rgb
     for key in ("clip_embeddings_img", "clip_embeddings_text"):
         if key in items[0]:
             batch[key] = np.stack([item[key] for item in items]).astype(np.float32)
@@ -88,6 +96,8 @@ class BatchIterator:
         prefetch: bool = True,
         voxel_transfer: str = "packed",
         voxel_size: int = 64,
+        with_images: bool = True,
+        with_voxels: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -97,6 +107,8 @@ class BatchIterator:
         self.prefetch = prefetch
         self.voxel_transfer = voxel_transfer
         self.voxel_size = voxel_size
+        self.with_images = with_images
+        self.with_voxels = with_voxels
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -133,6 +145,8 @@ class BatchIterator:
                 n_pad,
                 self.voxel_transfer,
                 self.voxel_size,
+                self.with_images,
+                self.with_voxels,
             )
             batch["num_valid"] = valid
             yield batch
@@ -205,10 +219,15 @@ class DataModule:
             self.val_set = build_dataset(self.cfg, self.cfg.inference.split)
 
     def _loader_kwargs(self) -> dict:
+        model = self.cfg.model
         return dict(
             batch_size=self.cfg.data.batch_size,
             voxel_transfer=self.cfg.data.get("voxel_transfer", "packed"),
             voxel_size=self.cfg.data.voxel_size,
+            # Raw images feed only the trainable MVCNN (the CLIP image head
+            # consumes precached embeddings); voxels only their encoder.
+            with_images=model.image_encoder == "MVCNNEncoder",
+            with_voxels=model.voxel_encoder is not None,
         )
 
     def train_loader(self) -> BatchIterator:

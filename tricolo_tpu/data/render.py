@@ -119,7 +119,11 @@ def render_mesh(
     face_rgb = (shade[:, None] * ALBEDO[None, :] * 255).astype(np.uint8)
 
     color = np.broadcast_to(BACKGROUND, (image_size, image_size, 3)).copy()
-    zbuf = np.full((image_size, image_size), -np.inf)  # store z (more = closer)
+    # Store 1/(-z) (more = closer): screen-space barycentrics interpolate
+    # 1/z linearly, not z — affine z interpolation resolves visibility
+    # wrong where large triangles spanning a deep z range overlap nearer
+    # geometry (perspective correction).
+    zbuf = np.full((image_size, image_size), -np.inf)
 
     fx = px[faces]  # (F, 3)
     fy = py[faces]
@@ -147,7 +151,7 @@ def render_mesh(
         inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
         if not inside.any():
             continue
-        depth = w0 * zs[0] + w1 * zs[1] + w2 * zs[2]
+        depth = w0 / -zs[0] + w1 / -zs[1] + w2 / -zs[2]  # interpolated 1/(-z)
         region_z = zbuf[min_y : max_y + 1, min_x : max_x + 1]
         update = inside & (depth > region_z)
         region_z[update] = depth[update]

@@ -52,11 +52,13 @@ class TriCoLoNet(nn.Module):
     # VoxelCNN
     voxel_size: int = 64
     ef_dim: int = 32
+    voxel_z_dim: int = 512
     voxel_fused_bn_pool: bool | None = None
     voxel_masked_bn: bool = False
     # CLIP heads
     clip_feature_dim: int = 768
     clip_dropout: float = 0.1
+    clip_image_dropout: float = 0.1
     # precision
     dtype: Any = None
     param_dtype: Any = None
@@ -85,12 +87,16 @@ class TriCoLoNet(nn.Module):
             cnn_name=modules.MVCNNEncoder.cnn_name,
             voxel_size=modules.VoxelCNNEncoder.voxel_size,
             ef_dim=modules.VoxelCNNEncoder.ef_dim,
-            voxel_fused_bn_pool={"auto": None, True: True, False: False}[
+            voxel_z_dim=modules.VoxelCNNEncoder.get("z_dim", modules.MVCNNEncoder.z_dim),
+            voxel_fused_bn_pool={"auto": None, None: None, True: True, False: False}[
                 modules.VoxelCNNEncoder.get("fused_bn_pool", "auto")
             ],
             voxel_masked_bn=bool(modules.VoxelCNNEncoder.get("masked_bn", False)),
             clip_feature_dim=modules.clip_feature_dim,
             clip_dropout=modules.CLIPTextEncoder.dropout,
+            clip_image_dropout=modules.CLIPImageEncoder.get(
+                "dropout", modules.CLIPTextEncoder.dropout
+            ),
             dtype=dtype,
             param_dtype=param_dtype,
         )
@@ -100,6 +106,8 @@ class TriCoLoNet(nn.Module):
         deterministic = not train
         output = {}
 
+        if self.text_encoder not in ("CLIPTextEncoder", "BiGRUEncoder"):
+            raise ValueError(f"unknown text encoder: {self.text_encoder}")
         if self.text_encoder == "CLIPTextEncoder":
             output["text_features"] = CLIPTextEncoder(
                 out_dim=self.out_dim, feature_dim=self.clip_feature_dim,
@@ -117,7 +125,7 @@ class TriCoLoNet(nn.Module):
         if self.image_encoder == "CLIPImageEncoder":
             output["image_features"] = CLIPImageEncoder(
                 out_dim=self.out_dim, num_views=self.num_views,
-                feature_dim=self.clip_feature_dim, dropout=self.clip_dropout,
+                feature_dim=self.clip_feature_dim, dropout=self.clip_image_dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype or jax.numpy.float32,
                 name="image_encoder",
             )(batch["clip_embeddings_img"], deterministic=deterministic)
@@ -132,7 +140,7 @@ class TriCoLoNet(nn.Module):
 
         if self.voxel_encoder in _VOXEL_ALIASES:
             output["voxel_features"] = VoxelCNNEncoder(
-                voxel_size=self.voxel_size, ef_dim=self.ef_dim, z_dim=self.z_dim,
+                voxel_size=self.voxel_size, ef_dim=self.ef_dim, z_dim=self.voxel_z_dim,
                 out_dim=self.out_dim, dtype=self.dtype,
                 param_dtype=self.param_dtype or jax.numpy.float32,
                 fused_bn_pool=self.voxel_fused_bn_pool,

@@ -126,6 +126,12 @@ class CheckpointManager:
         Lightning semantics: save_top_k=0 disables saving, -1 keeps all."""
         if self.save_top_k == 0:
             return None
+        if self.monitor not in metrics:
+            raise KeyError(
+                f"checkpoint monitor {self.monitor!r} not among logged "
+                f"metrics {sorted(metrics)} — set checkpoint_monitor.monitor "
+                "to one of these"
+            )
         score = float(metrics[self.monitor])
         if 0 < self.save_top_k <= len(self._entries):
             worst = min if self.mode == "max" else max

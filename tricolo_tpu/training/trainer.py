@@ -138,7 +138,9 @@ class Trainer:
             step=np.asarray(raw["step"]),
             params=params,
             batch_stats=raw["batch_stats"],
-            opt_state=self.tx.init(params) if for_inference else None,
+            # Inference never touches the optimizer — skip allocating the
+            # two f32 Adam moment trees (~2x parameter memory).
+            opt_state={} if for_inference else None,
         )
         if not for_inference:
             # Restore optimizer moments with proper structure.
@@ -207,14 +209,16 @@ class Trainer:
             lr = lr_for_epoch(cfg, epoch)
             train_loader.set_epoch(epoch)
             tic = time.perf_counter()
-            last_losses = {}
             for batch in train_loader:
                 device_batch = shard_batch(batch, self.mesh)
                 state, loss_dict = self.train_step(state, device_batch, lr, dropout_rng)
                 global_step += 1
                 if global_step % log_every == 0:
-                    last_losses = {k: float(v) for k, v in loss_dict.items()}
-                    logger.log({**last_losses, "lr": lr}, global_step, epoch)
+                    logger.log(
+                        {**{k: float(v) for k, v in loss_dict.items()}, "lr": lr},
+                        global_step,
+                        epoch,
+                    )
             self._timers["train"] += time.perf_counter() - tic
 
             if (epoch + 1) % val_every == 0 or epoch == cfg.trainer.max_epochs - 1:
@@ -247,7 +251,7 @@ class Trainer:
                 )
                 if (epoch + 1) % ckpt_every == 0 or epoch == cfg.trainer.max_epochs - 1:
                     tic = time.perf_counter()
-                    manager.save(state, epoch, summary)
+                    manager.save(state, epoch, {**summary, **val_losses})
                     self._timers["checkpoint"] += time.perf_counter() - tic
 
         return state
