@@ -54,7 +54,18 @@ _SLOW_MODULES = {
 }
 
 
+# Interpret-mode pallas_call leaves XLA:CPU runtime state that can abort
+# later shard_map programs in the same process ("Fatal Python error:
+# Aborted" at test_parallel's fsdp step, jax 0.9.0; reproduced with
+# test_ops + test_parallel and seen repeatedly in full runs). Module
+# teardowns clear jax caches, but at full-suite scale that is not always
+# enough — so the interpret-heavy modules are also ordered LAST, after
+# every shard_map consumer.
+_INTERPRET_MODULES = {"test_ops", "test_fused_bn_pool"}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.module.__name__ in _SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
+    items.sort(key=lambda item: item.module.__name__ in _INTERPRET_MODULES)
