@@ -165,7 +165,38 @@ class TestFsdpSharding:
 
     def test_fsdp_train_step_matches_replicated(self, mesh):
         """ZeRO-style param sharding must not change the math — XLA inserts
-        the gathers/reduce-scatters."""
+        the gathers/reduce-scatters.
+
+        Runs in a pristine subprocess when invoked as part of a larger
+        session: this exact program (fsdp-resharded donated train step on
+        the 8-virtual-device CPU backend, jax 0.9.0) intermittently dies
+        with 'Fatal Python error: Aborted' when ~100 other tests ran first
+        in the same process — it passes solo, every time. Neither
+        jax.clear_caches() teardowns nor module reordering prevented it,
+        so the test isolates itself instead.
+        """
+        import os
+        import subprocess
+        import sys
+
+        if os.environ.get("_TRICOLO_FSDP_SUBPROC") != "1" and len(
+            sys.argv
+        ) > 0:
+            this = (
+                f"{__file__}::TestFsdpSharding::"
+                "test_fsdp_train_step_matches_replicated"
+            )
+            result = subprocess.run(
+                [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider", this],
+                env={**os.environ, "_TRICOLO_FSDP_SUBPROC": "1"},
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+            assert result.returncode == 0, (
+                result.stdout[-2000:] + result.stderr[-1000:]
+            )
+            return
         import jax.numpy as jnp
 
         from tricolo_tpu.config import load_config
