@@ -26,14 +26,13 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the 3D-conv graphs are slow to compile on the
 # CPU backend; caching them makes repeated test runs fast.
-# Cache dir is namespaced by jaxlib + interpreter version: a shared dir can
-# be poisoned by AOT executables compiled by a different environment (e.g.
-# the terminal's python3.13 jax stack), whose machine-feature mismatch
-# intermittently SIGILL/aborts mid-suite when loaded.
-cache_dir = "/tmp/jax_comp_cache_{}_py{}{}".format(
-    __import__("jaxlib").__version__, *__import__("sys").version_info[:2]
-)
-jax.config.update("jax_compilation_cache_dir", cache_dir)
+# Cache dir is namespaced by jaxlib + interpreter version AND host CPU
+# features (tricolo_tpu.utils.compcache): XLA:CPU AOT executables compiled
+# on a host with different CPU flags load fine and then SIGABRT/SIGILL
+# mid-execution, so cross-host cache sharing must be impossible.
+from tricolo_tpu.utils.compcache import compilation_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -81,6 +81,27 @@ class TestCollate:
             assert (batch["voxel_flat"][i, n:] == VOXEL_PAD_SENTINEL).all()
             assert (batch["voxel_rgb"][i, n:] == 0).all()
 
+    def test_disabled_modalities_not_collated(self, synth_train):
+        """with_voxels=False must skip all voxel host work (and never index
+        item['voxel_flat']); with_images=False skips the image stack."""
+        items = [
+            {k: v for k, v in synth_train[i].items() if not k.startswith("voxel")}
+            for i in range(3)
+        ]
+        batch = collate(
+            items, synth_train.max_voxel_points, with_images=True, with_voxels=False
+        )
+        assert "voxel_flat" not in batch and "voxel_rgb" not in batch
+        assert "voxel_grid" not in batch
+        assert "images" in batch
+        batch2 = collate(
+            [synth_train[i] for i in range(3)],
+            synth_train.max_voxel_points,
+            with_images=False,
+            with_voxels=True,
+        )
+        assert "images" not in batch2 and "voxel_flat" in batch2
+
     def test_dense_transfer_equivalence(self, synth_train, synth_cfg):
         """data.voxel_transfer=dense ships the host-densified grid; the
         device must see the exact same voxels either way."""
@@ -178,6 +199,34 @@ class TestDevicePrep:
         dense = np.asarray(densify_voxels(jnp.asarray(flat), jnp.asarray(rgb), 4))
         np.testing.assert_allclose(dense[0, 1, 2, 3], [1.0, 0.0, 0.0])
         np.testing.assert_allclose(dense[1, 1, 2, 3], [0.0, 1.0, 0.0])
+
+    def test_densify_on_host_skips_out_of_range(self):
+        """Non-sentinel out-of-range coordinates are silently skipped by
+        both the numpy fallback and the C++ sweep — identical behavior
+        whether or not the native lib built."""
+        from tricolo_tpu import native
+        from tricolo_tpu.data.device_prep import VOXEL_PAD_SENTINEL, densify_on_host
+
+        D = 4
+        flat = np.full((1, 4), VOXEL_PAD_SENTINEL, np.uint32)
+        rgb = np.zeros((1, 4), np.uint32)
+        flat[0, 0] = (1 << 16) | (2 << 8) | 3  # in range
+        rgb[0, 0] = 0x010203
+        flat[0, 1] = (200 << 16) | (2 << 8) | 3  # x=200 >= D: malformed
+        rgb[0, 1] = 0xFFFFFF
+
+        def numpy_path():
+            return densify_on_host(flat, rgb, D)
+
+        grid = numpy_path()
+        assert grid[0, 1, 2, 3] == 0x010203
+        assert grid.sum() == 0x010203  # the malformed site wrote nowhere
+        if native.available():
+            # Force the numpy fallback and compare against the C++ result.
+            import unittest.mock as mock
+
+            with mock.patch.object(native, "available", lambda: False):
+                np.testing.assert_array_equal(numpy_path(), grid)
 
     def test_voxel_mask_channel_alpha_rule(self):
         # Occupied pure-black voxels must appear in the occupancy channel

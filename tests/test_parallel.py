@@ -179,9 +179,7 @@ class TestFsdpSharding:
         import subprocess
         import sys
 
-        if os.environ.get("_TRICOLO_FSDP_SUBPROC") != "1" and len(
-            sys.argv
-        ) > 0:
+        if os.environ.get("_TRICOLO_FSDP_SUBPROC") != "1":
             this = (
                 f"{__file__}::TestFsdpSharding::"
                 "test_fsdp_train_step_matches_replicated"

@@ -160,6 +160,65 @@ class TestCheckpoint:
         assert kept == ["epoch=1.ckpt", "epoch=4.ckpt"]
         assert mgr.best_path.endswith("epoch=4.ckpt")
 
+    def test_save_last(self, tiny_setup, tmp_path):
+        """save_last=True maintains last.ckpt outside the top-k set
+        (Lightning ModelCheckpoint save_last, reference config.yaml:42)."""
+        cfg, model, tx, mesh, state, batch = tiny_setup
+        mgr = CheckpointManager(
+            str(tmp_path), monitor="m", save_top_k=1, save_last=True
+        )
+        mgr.save(state, 0, {"m": 5.0})
+        # Worse score: rejected from top-k but last.ckpt still refreshed.
+        mgr.save(state, 1, {"m": 1.0})
+        kept = sorted(f for f in os.listdir(tmp_path) if f.endswith(".ckpt"))
+        assert kept == ["epoch=0.ckpt", "last.ckpt"]
+        raw = load_checkpoint(str(tmp_path / "last.ckpt"))
+        assert int(raw["epoch"]) == 1
+        # save_top_k=0 disables top-k saving but not last.
+        mgr0 = CheckpointManager(
+            str(tmp_path / "only_last"), monitor="m", save_top_k=0, save_last=True
+        )
+        assert mgr0.save(state, 2, {"m": 9.0}) is None
+        assert os.listdir(tmp_path / "only_last") == ["last.ckpt"]
+
+    def test_migrate_legacy_voxel_kernel(self):
+        """A legacy (3,3,3,3,C) block-0 voxel kernel (pre Cin-pad) is
+        zero-padded to (3,3,3,4,C) in params and optimizer moments."""
+        from tricolo_tpu.training.checkpoint import migrate_legacy_voxel_kernel
+
+        kernel = np.random.default_rng(0).normal(size=(3, 3, 3, 3, 8)).astype(
+            np.float32
+        )
+        raw = {
+            "params": {
+                "voxel_encoder": {"ConvBlock_0": {"Conv_0": {"kernel": kernel.copy()}}}
+            },
+            "opt_state": {
+                "0": {
+                    "mu": {
+                        "voxel_encoder": {
+                            "ConvBlock_0": {"Conv_0": {"kernel": kernel.copy()}}
+                        }
+                    }
+                }
+            },
+        }
+        out = migrate_legacy_voxel_kernel(raw)
+        new = out["params"]["voxel_encoder"]["ConvBlock_0"]["Conv_0"]["kernel"]
+        assert new.shape == (3, 3, 3, 4, 8)
+        np.testing.assert_array_equal(new[..., :3, :], kernel)
+        np.testing.assert_array_equal(new[..., 3, :], 0.0)
+        mu = out["opt_state"]["0"]["mu"]["voxel_encoder"]["ConvBlock_0"]["Conv_0"][
+            "kernel"
+        ]
+        assert mu.shape == (3, 3, 3, 4, 8)
+        # Already-padded checkpoints pass through untouched.
+        again = migrate_legacy_voxel_kernel(out)
+        assert (
+            again["params"]["voxel_encoder"]["ConvBlock_0"]["Conv_0"]["kernel"].shape
+            == (3, 3, 3, 4, 8)
+        )
+
     def test_prune_disabled_encoders(self, tiny_setup):
         cfg, model, tx, mesh, state, batch = tiny_setup
         params = {"text_encoder": {}, "voxel_encoder": {}, "image_encoder": {}}

@@ -98,8 +98,13 @@ def default_config() -> ConfigNode:
                         "ef_dim": 32,
                         "z_dim": 512,
                         "out_dim": "${model.out_dim}",
-                        # "auto": fused Pallas BN/ReLU/pool kernel on TPU,
-                        # plain XLA elsewhere; true/false forces it.
+                        # "auto"/false: the default hybrid XLA path (pure
+                        # XLA forward; hand-derived backward with BN param
+                        # grads reduced at pooled resolution — measurably
+                        # the fastest end-to-end, PERF.md). true: opt-in
+                        # fused Pallas forward/backward kernels (exact, but
+                        # slower end-to-end since they break XLA's
+                        # conv-epilogue fusions).
                         "fused_bn_pool": "auto",
                         # Submanifold-faithful BN (spconv semantics):
                         # statistics over occupied sites, inactive zeroed.

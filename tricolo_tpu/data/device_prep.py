@@ -160,8 +160,11 @@ def densify_on_host(
     local = (
         x.astype(np.int64) * voxel_size + y.astype(np.int64)
     ) * voxel_size + z.astype(np.int64)
-    grid = np.zeros((batch, d3 + 1), np.uint32)  # slot d3 swallows padding
-    local = np.where(flat_u32 == VOXEL_PAD_SENTINEL, d3, local)
+    # Slot d3 swallows padding AND out-of-range coordinates, matching the
+    # C++ sweep's silent-skip behavior for malformed (non-sentinel) sites.
+    grid = np.zeros((batch, d3 + 1), np.uint32)
+    out_of_range = (x >= voxel_size) | (y >= voxel_size) | (z >= voxel_size)
+    local = np.where((flat_u32 == VOXEL_PAD_SENTINEL) | out_of_range, d3, local)
     np.put_along_axis(grid, local, rgb_u32, axis=1)
     return grid[:, :d3].reshape(batch, voxel_size, voxel_size, voxel_size)
 

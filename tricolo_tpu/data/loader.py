@@ -51,15 +51,6 @@ def collate(
     """
     from .device_prep import VOXEL_PAD_SENTINEL, densify_on_host
 
-    batch_size = len(items)
-    n_pad = max_voxel_points
-    flat = np.full((batch_size, n_pad), VOXEL_PAD_SENTINEL, dtype=np.uint32)
-    rgb = np.zeros((batch_size, n_pad), dtype=np.uint32)
-    for i, item in enumerate(items):
-        n = min(item["voxel_flat"].shape[0], n_pad)
-        flat[i, :n] = item["voxel_flat"][:n]
-        rgb[i, :n] = item["voxel_rgb"][:n]
-
     batch: dict[str, Any] = {
         "model_id": [item["model_id"] for item in items],
         "category": [item["category"] for item in items],
@@ -72,6 +63,14 @@ def collate(
     if with_images:
         batch["images"] = np.stack([item["images"] for item in items])
     if with_voxels:
+        batch_size = len(items)
+        n_pad = max_voxel_points
+        flat = np.full((batch_size, n_pad), VOXEL_PAD_SENTINEL, dtype=np.uint32)
+        rgb = np.zeros((batch_size, n_pad), dtype=np.uint32)
+        for i, item in enumerate(items):
+            n = min(item["voxel_flat"].shape[0], n_pad)
+            flat[i, :n] = item["voxel_flat"][:n]
+            rgb[i, :n] = item["voxel_rgb"][:n]
         if voxel_transfer == "dense":
             batch["voxel_grid"] = densify_on_host(flat, rgb, voxel_size)
         else:

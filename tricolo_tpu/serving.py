@@ -388,8 +388,16 @@ class RetrievalServer:
                             {"model_id": m, "similarity": s} for m, s in results
                         ]},
                     )
-                except Exception as exc:  # surfaced to the client
+                except (ValueError, KeyError, TypeError, json.JSONDecodeError) as exc:
+                    # Malformed request → client error, detail surfaced.
                     self._reply(400, {"error": str(exc)})
+                except Exception:
+                    # Genuine server-side fault: 500, generic message (no
+                    # internal detail leaked to the client).
+                    import traceback
+
+                    traceback.print_exc()
+                    self._reply(500, {"error": "internal server error"})
 
             def log_message(self, *args: Any) -> None:
                 pass  # quiet; the CLI prints the serving banner

@@ -59,6 +59,42 @@ def load_checkpoint(path: str, template: dict | None = None) -> dict:
     return serialization.msgpack_restore(data)
 
 
+def migrate_legacy_voxel_kernel(raw: dict) -> dict:
+    """Zero-pad a legacy (3,3,3,3,C) block-0 voxel conv kernel to the
+    current Cin-padded (3,3,3,4,C) layout, in place.
+
+    Checkpoints saved before the RGB 3→4 zero-pad (voxel_cnn.py
+    padded_rgb_conv_kernel_init) carry the 3-channel kernel; the pad
+    channel's input is always zero, so appending zero weights (and zero
+    optimizer moments — walked in opt_state too, where the Adam moment
+    trees mirror the param tree) is numerically exact. Without this, old
+    checkpoints fail to restore with a shape mismatch.
+    """
+
+    def _walk(node):
+        if not isinstance(node, dict):
+            return
+        voxel = node.get("voxel_encoder")
+        if isinstance(voxel, dict):
+            conv = voxel.get("ConvBlock_0", {}).get("Conv_0", {})
+            kernel = conv.get("kernel")
+            if (
+                kernel is not None
+                and getattr(kernel, "ndim", 0) == 5
+                and kernel.shape[-2] == 3
+            ):
+                conv["kernel"] = np.concatenate(
+                    [kernel, np.zeros_like(kernel[..., :1, :])], axis=-2
+                )
+        for value in node.values():
+            if isinstance(value, dict):
+                _walk(value)
+
+    _walk(raw.get("params", {}))
+    _walk(raw.get("opt_state", {}))
+    return raw
+
+
 def prune_disabled_encoders(params: dict, cfg) -> dict:
     """Drop disabled-encoder params before a partial load (test.py:20-28).
 
@@ -106,11 +142,13 @@ class CheckpointManager:
         monitor: str = "val_eval/RR@5",
         mode: str = "max",
         save_top_k: int = 3,
+        save_last: bool = False,
     ):
         self.dirpath = dirpath
         self.monitor = monitor
         self.mode = mode
         self.save_top_k = save_top_k
+        self.save_last = save_last
         self._index_path = os.path.join(dirpath, "checkpoints.json")
         self._entries: list[dict] = []
         if os.path.exists(self._index_path):
@@ -123,7 +161,17 @@ class CheckpointManager:
     def save(self, state, epoch: int, metrics: dict[str, float]) -> str | None:
         """Save if the monitored score makes the top-k; returns path or None.
 
-        Lightning semantics: save_top_k=0 disables saving, -1 keeps all."""
+        Lightning semantics: save_top_k=0 disables top-k saving, -1 keeps
+        all; save_last=True additionally maintains a ``last.ckpt`` outside
+        the top-k set, overwritten at every save opportunity (ModelCheckpoint
+        save_last, reference config.yaml:42)."""
+        if self.save_last:
+            save_checkpoint(
+                os.path.join(self.dirpath, "last.ckpt"),
+                state,
+                epoch,
+                extra={"metrics": metrics},
+            )
         if self.save_top_k == 0:
             return None
         if self.monitor not in metrics:

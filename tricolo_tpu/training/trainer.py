@@ -25,7 +25,12 @@ from ..data.loader import DataModule
 from ..models.tricolo_net import TriCoLoNet
 from ..parallel import make_mesh, shard_batch
 from ..evaluation import compute_metrics, compute_metrics_on_device, write_nearest_info
-from .checkpoint import CheckpointManager, load_checkpoint, prune_disabled_encoders
+from .checkpoint import (
+    CheckpointManager,
+    load_checkpoint,
+    migrate_legacy_voxel_kernel,
+    prune_disabled_encoders,
+)
 from .logger import MetricsLogger
 from .optim import lr_for_epoch, make_optimizer
 from .state import TrainState
@@ -130,7 +135,7 @@ class Trainer:
 
     def load_state(self, ckpt_path: str, for_inference: bool = False):
         """Restore state (and epoch) from a checkpoint file."""
-        raw = load_checkpoint(ckpt_path)
+        raw = migrate_legacy_voxel_kernel(load_checkpoint(ckpt_path))
         params = raw["params"]
         if for_inference:
             params = prune_disabled_encoders(params, self.cfg)
@@ -168,6 +173,7 @@ class Trainer:
             monitor=cfg.checkpoint_monitor.monitor,
             mode=cfg.checkpoint_monitor.mode,
             save_top_k=cfg.checkpoint_monitor.save_top_k,
+            save_last=bool(cfg.checkpoint_monitor.get("save_last", False)),
         )
 
         if resume_ckpt is not None:
