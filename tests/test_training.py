@@ -57,6 +57,77 @@ class TestAdamParity:
             )
 
 
+class TestFlatAdam:
+    def _tree(self, rng):
+        return {
+            "a": {"w": rng.standard_normal((8, 4)).astype(np.float32)},
+            "b": rng.standard_normal((16,)).astype(np.float32),
+            "c": {"k": rng.standard_normal((2, 3, 5)).astype(np.float32)},
+        }
+
+    def test_flat_matches_per_leaf_chain(self):
+        """optimizer.flat_update=true must produce identical updates and
+        moments to the per-leaf optax chain — same math, fewer kernels."""
+        rng = np.random.default_rng(1)
+        params = jax.tree.map(jnp.asarray, self._tree(rng))
+        cfg_flat = load_config(["optimizer.weight_decay=0.01"])
+        cfg_leaf = load_config(
+            ["optimizer.weight_decay=0.01", "optimizer.flat_update=false"]
+        )
+        tx_f, tx_l = make_optimizer(cfg_flat), make_optimizer(cfg_leaf)
+        s_f, s_l = tx_f.init(params), tx_l.init(params)
+        for _ in range(4):
+            grads = jax.tree.map(jnp.asarray, self._tree(rng))
+            u_f, s_f = tx_f.update(grads, s_f, params)
+            u_l, s_l = tx_l.update(grads, s_l, params)
+            for a, b in zip(jax.tree.leaves(u_f), jax.tree.leaves(u_l)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+                )
+            params = jax.tree.map(lambda p, u: p - 3e-4 * u, params, u_f)
+
+    def test_opt_state_format_migration_roundtrip(self):
+        """A checkpointed per-leaf opt state restores under a flat
+        optimizer and vice versa (optimizer.flat_update flips)."""
+        from flax import serialization
+        from jax.flatten_util import ravel_pytree
+
+        from tricolo_tpu.training.checkpoint import adapt_opt_state_format
+
+        rng = np.random.default_rng(2)
+        params = jax.tree.map(jnp.asarray, self._tree(rng))
+        tx_f = make_optimizer(load_config([]))
+        tx_l = make_optimizer(load_config(["optimizer.flat_update=false"]))
+        s_f, s_l = tx_f.init(params), tx_l.init(params)
+        grads = jax.tree.map(jnp.asarray, self._tree(rng))
+        _, s_f = tx_f.update(grads, s_f, params)
+        _, s_l = tx_l.update(grads, s_l, params)
+
+        # per-leaf checkpoint → flat optimizer
+        raw = serialization.to_state_dict(s_l)
+        adapted = adapt_opt_state_format(raw, params, tx_f.init(params))
+        restored = serialization.from_state_dict(tx_f.init(params), adapted)
+        np.testing.assert_allclose(
+            np.asarray(restored.mu), np.asarray(s_f.mu), rtol=1e-6, atol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(restored.nu), np.asarray(s_f.nu), rtol=1e-6, atol=0
+        )
+        assert int(restored.count) == 1
+
+        # flat checkpoint → per-leaf optimizer
+        raw_f = serialization.to_state_dict(s_f)
+        adapted_l = adapt_opt_state_format(raw_f, params, tx_l.init(params))
+        restored_l = serialization.from_state_dict(tx_l.init(params), adapted_l)
+        flat_mu, _ = ravel_pytree(restored_l[-1].mu)
+        np.testing.assert_allclose(
+            np.asarray(flat_mu), np.asarray(s_f.mu), rtol=1e-6, atol=0
+        )
+
+        # same-layout state dicts pass through untouched
+        assert adapt_opt_state_format(raw_f, params, tx_f.init(params)) is raw_f
+
+
 class TestLrSchedule:
     def test_inert_at_defaults(self):
         cfg = load_config([])

@@ -66,6 +66,11 @@ def default_config() -> ConfigNode:
                 "name": "adam",
                 "lr": 0.00035,
                 "weight_decay": 1.0e-6,
+                # True (default): torch-Adam over one flattened buffer —
+                # same numbers, O(1) kernels instead of ~5 stages per leaf
+                # (~2 ms/step on v5e, PERF.md). False: per-leaf optax
+                # chain. Checkpoints convert between layouts on load.
+                "flat_update": True,
             },
             # Cosine decay from start_epoch to max_epochs; inert at the
             # defaults since start_epoch == max_epochs (reference
@@ -253,6 +258,32 @@ def data_preset(name: str) -> ConfigNode:
                 "num_models": 12,
                 "captions_per_model": 3,
                 "max_tokens": 16,
+            }
+        )
+    elif name == "structured":
+        # Attribute-grounded synthetic dataset (data/structured.py):
+        # captions determine shape attributes so retrieval metrics carry
+        # signal — the dense-vs-masked BN experiment fixture (PARITY.md).
+        base.merge(
+            {
+                "preset": name,
+                "dataset": "StructuredSynthetic",
+                "dataset_path": "${project_root_path}/data/structured",
+                "exp_data_root_path": "${data.dataset_path}",
+                "train_lang_data_path": "",
+                "val_lang_data_path": "",
+                "test_lang_data_path": "",
+                "vocab_size": 64,
+                "ignored_models": [],
+                "batch_size": 128,
+                "num_workers": 0,
+                "image_size": 64,
+                "voxel_size": 64,
+                "num_views": 3,
+                "num_models": 300,
+                "captions_per_model": 3,
+                "max_tokens": 24,
+                "structured_seed": 0,
             }
         )
     else:

@@ -367,6 +367,12 @@ class SyntheticDataset:
     __getitem__ = GeneralDataset.__getitem__
 
 
+def _structured(cfg, split):
+    from .structured import StructuredSyntheticDataset
+
+    return StructuredSyntheticDataset(cfg, split)
+
+
 _DATASETS = {
     # Reference dataset names are trivial subclasses of GeneralDataset used
     # only for Hydra dispatch (dataset/text2shape_chair_table.py:4-6).
@@ -374,6 +380,7 @@ _DATASETS = {
     "Text2ShapeC13": GeneralDataset,
     "GeneralDataset": GeneralDataset,
     "Synthetic": SyntheticDataset,
+    "StructuredSynthetic": _structured,
 }
 
 

@@ -94,6 +94,15 @@ def _place_opt_state(opt_state, params, p_shard, mesh):
             return tuple(children)
         if isinstance(node, list):
             return [place(child) for child in node]
+        if (
+            getattr(node, "ndim", None) == 1
+            and node.size >= 2**16
+            and node.size % mesh.size == 0
+        ):
+            # Flat optimizer moment buffers (flat_torch_adam): shard the
+            # single axis over the data axis — the ZeRO-style moment
+            # sharding the per-leaf path gets from mirroring param specs.
+            return jax.device_put(node, NamedSharding(mesh, P(DATA_AXIS)))
         return jax.device_put(node, NamedSharding(mesh, P()))
 
     return place(opt_state)

@@ -95,6 +95,66 @@ def migrate_legacy_voxel_kernel(raw: dict) -> dict:
     return raw
 
 
+def _find_adam_moments(node):
+    """Locate the {count, mu, nu} dict inside a raw opt-state state-dict."""
+    if isinstance(node, dict):
+        if {"count", "mu", "nu"} <= set(node):
+            return node
+        for value in node.values():
+            found = _find_adam_moments(value)
+            if found is not None:
+                return found
+    return None
+
+
+def adapt_opt_state_format(raw_opt: dict, params, template) -> dict:
+    """Convert a checkpointed opt-state state-dict between the per-leaf
+    optax-chain layout and the flat_torch_adam layout, whichever the
+    current optimizer (``template``) expects.
+
+    Both layouts hold the same numbers — torch-Adam count/mu/nu — so the
+    conversion is a ravel (or unravel) of the moment trees in the params
+    pytree order. Lets checkpoints survive flips of
+    ``optimizer.flat_update`` in either direction.
+    """
+    from flax import serialization
+    from jax.flatten_util import ravel_pytree
+
+    src = _find_adam_moments(raw_opt)
+    if src is None:
+        return raw_opt  # unknown layout — let from_state_dict report it
+    src_is_flat = getattr(src["mu"], "ndim", None) == 1 and not isinstance(
+        src["mu"], dict
+    )
+    template_sd = serialization.to_state_dict(template)
+    dst = _find_adam_moments(template_sd)
+    if dst is None:
+        return raw_opt
+    dst_is_flat = getattr(dst["mu"], "ndim", None) == 1 and not isinstance(
+        dst["mu"], dict
+    )
+    if src_is_flat == dst_is_flat:
+        return raw_opt
+
+    flat_p, unravel = ravel_pytree(params)
+    params_sd = serialization.to_state_dict(params)
+    for key in ("mu", "nu"):
+        if dst_is_flat:
+            # per-leaf tree → flat buffer, in params ravel order
+            tree = serialization.from_state_dict(params, src[key])
+            dst[key], _ = ravel_pytree(tree)
+        else:
+            moment = np.asarray(src[key])
+            if moment.shape != flat_p.shape:
+                raise ValueError(
+                    f"flat opt-state moment {key} has {moment.shape}, "
+                    f"model expects {flat_p.shape} — params changed?"
+                )
+            dst[key] = serialization.to_state_dict(unravel(moment))
+    dst["count"] = src["count"]
+    return template_sd
+
+
 def prune_disabled_encoders(params: dict, cfg) -> dict:
     """Drop disabled-encoder params before a partial load (test.py:20-28).
 

@@ -11,8 +11,59 @@ schedule needs no optimizer-state surgery.
 from __future__ import annotations
 
 import math
+from typing import NamedTuple
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+class FlatTorchAdamState(NamedTuple):
+    count: jax.Array  # int32 scalar step count
+    mu: jax.Array  # (n_params,) first moment, flat
+    nu: jax.Array  # (n_params,) second moment, flat
+
+
+def flat_torch_adam(weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """torch-Adam over a single flattened parameter buffer.
+
+    Numerically equivalent to the per-leaf optax chain (every op is
+    elementwise, so flattening changes nothing but kernel granularity), but
+    the whole moment update + direction computation runs as a handful of
+    fused kernels over one (n_params,) buffer instead of ~5 stages × ~100
+    leaves of tiny dispatches — the per-leaf chain costs ~3.6 ms/step for
+    the 15 M-param flagship on v5e against a ~0.4 ms speed-of-light
+    (PERF.md "torch-Adam update").
+    """
+    from jax.flatten_util import ravel_pytree
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return FlatTorchAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jnp.zeros_like(flat),
+            nu=jnp.zeros_like(flat),
+        )
+
+    def update(grads, state, params=None):
+        flat_g, unravel = ravel_pytree(grads)
+        if weight_decay:
+            if params is None:
+                raise ValueError("flat_torch_adam with weight_decay needs params")
+            flat_p, _ = ravel_pytree(params)
+            flat_g = flat_g + weight_decay * flat_p
+        count = state.count + 1
+        mu = b1 * state.mu + (1.0 - b1) * flat_g
+        nu = b2 * state.nu + (1.0 - b2) * (flat_g * flat_g)
+        c = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - b1**c)
+        nu_hat = nu / (1.0 - b2**c)
+        direction = mu_hat / (jnp.sqrt(nu_hat) + eps)
+        return unravel(direction), FlatTorchAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(cfg) -> optax.GradientTransformation:
@@ -20,6 +71,8 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     opt = cfg.optimizer
     if opt.name.lower() != "adam":
         raise ValueError(f"unsupported optimizer: {opt.name}")
+    if opt.get("flat_update", True):
+        return flat_torch_adam(opt.weight_decay or 0.0)
     transforms = []
     if opt.weight_decay:
         transforms.append(optax.add_decayed_weights(opt.weight_decay))

@@ -27,6 +27,7 @@ from ..parallel import make_mesh, shard_batch
 from ..evaluation import compute_metrics, compute_metrics_on_device, write_nearest_info
 from .checkpoint import (
     CheckpointManager,
+    adapt_opt_state_format,
     load_checkpoint,
     migrate_legacy_voxel_kernel,
     prune_disabled_encoders,
@@ -148,11 +149,14 @@ class Trainer:
             opt_state={} if for_inference else None,
         )
         if not for_inference:
-            # Restore optimizer moments with proper structure.
+            # Restore optimizer moments with proper structure; checkpoints
+            # written under the other optimizer.flat_update setting are
+            # converted (same numbers, different pytree layout).
             template = self.tx.init(params)
             from flax import serialization
 
-            opt_state = serialization.from_state_dict(template, raw["opt_state"])
+            raw_opt = adapt_opt_state_format(raw["opt_state"], params, template)
+            opt_state = serialization.from_state_dict(template, raw_opt)
             state = state.replace(opt_state=opt_state)
         state = self._place_state(state)
         return state, int(raw["epoch"])
