@@ -46,21 +46,62 @@ def main():
         help="tri = flagship Tri(I+V) (the driver-recorded metric); "
         "bi_i / bi_v time the bimodal variants for PERF.md",
     )
+    ap.add_argument(
+        "--voxel-size",
+        type=int,
+        default=64,
+        help="voxel grid resolution (128 = the BASELINE.json C13/128³ "
+        "config; pair with --batch-size 32 on a 16 GB chip — block-1 "
+        "activations are 8× the 64³ footprint)",
+    )
+    ap.add_argument(
+        "--batch-size",
+        type=int,
+        default=128,
+        help="per-chip batch (reference recipe 128 at 64³; 32 at 128³)",
+    )
+    ap.add_argument(
+        "--override",
+        action="append",
+        default=[],
+        help="extra config overrides, e.g. optimizer.flat_update=false",
+    )
     args = ap.parse_args()
 
-    cfg = _flagship_cfg()
+    # Persist compiled executables across runs (keyed by HLO+platform):
+    # the flagship step takes minutes to compile on the tunneled TPU, and
+    # the driver's bench run should not pay it twice.
+    from tricolo_tpu.utils.compcache import compilation_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    # Size knobs go through load_config overrides so ${data.voxel_size}
+    # interpolations (e.g. the voxel encoder's grid size) resolve right.
+    cfg = _flagship_cfg(
+        extra=[
+            f"data.voxel_size={args.voxel_size}",
+            f"data.batch_size={args.batch_size}",
+            *args.override,
+        ]
+    )
     if args.config == "bi_i":
         cfg.model.voxel_encoder = None
     elif args.config == "bi_v":
         cfg.model.image_encoder = None
-    cfg.data.batch_size = 128
-    # Representative solid-voxel occupancy: ~8k occupied sites of 64³.
-    n_points = 8192
+    # Representative solid-voxel occupancy: ~8k occupied sites of 64³
+    # (scaled 8× at 128³ — same solid fraction).
+    n_points = 8192 * (args.voxel_size**3) // (64**3)
     # Deployment input path: the host densifies during prefetch and ships
     # the u32 grid (data.voxel_transfer=dense) — H2D overlaps with compute
     # on real hosts, and the per-step device scatter (~6.6 ms) disappears.
     # The A100 estimate likewise excludes the host-side collate.
     cfg.data.voxel_transfer = "dense"
+    if args.voxel_size >= 128 and "precision.remat_voxel=true" not in args.override:
+        # 128³ memory plan: block-1 activations alone are (B,128³,32) bf16
+        # = 134 MB·B/chip; batch 32 + rematerialized voxel stack fits a
+        # 16 GB v5e (see PERF.md "128³ configuration").
+        cfg.precision.remat_voxel = True
 
     mesh = make_mesh(cfg.parallel.data_parallel)
     model = TriCoLoNet.from_config(cfg)

@@ -50,6 +50,7 @@ _SLOW_MODULES = {
     "test_parallel",
     "test_training",
     "test_tricolo_net",
+    "test_voxel128",
 }
 
 

@@ -180,6 +180,10 @@ def default_config() -> ConfigNode:
                 # 64 MiB beats the 16 MiB default by ~3% step time on v5e
                 # via deeper fusions (PERF.md). 0/null keeps XLA's default.
                 "scoped_vmem_kib": 65536,
+                # Rematerialize the voxel encoder in backward. Off at 64³
+                # (neutral, PERF.md "Remat"); required part of the 128³
+                # memory plan (with data.batch_size=32 on a 16 GB chip).
+                "remat_voxel": False,
             },
             "bench": {"warmup_steps": 3, "steps": 20},
         }

@@ -55,6 +55,11 @@ class TriCoLoNet(nn.Module):
     voxel_z_dim: int = 512
     voxel_fused_bn_pool: bool | None = None
     voxel_masked_bn: bool = False
+    # Rematerialize the voxel stack in backward (precision.remat_voxel):
+    # the 128³ memory plan — block-1 activations are (B,128³,32), 8× the
+    # 64³ footprint, and recomputing them beats spilling at that size
+    # (neutral at 64³, PERF.md "Remat").
+    voxel_remat: bool = False
     # CLIP heads
     clip_feature_dim: int = 768
     clip_dropout: float = 0.1
@@ -92,6 +97,7 @@ class TriCoLoNet(nn.Module):
                 modules.VoxelCNNEncoder.get("fused_bn_pool", "auto")
             ],
             voxel_masked_bn=bool(modules.VoxelCNNEncoder.get("masked_bn", False)),
+            voxel_remat=bool(cfg.precision.get("remat_voxel", False)),
             clip_feature_dim=modules.clip_feature_dim,
             clip_dropout=modules.CLIPTextEncoder.dropout,
             clip_image_dropout=modules.CLIPImageEncoder.get(
@@ -139,13 +145,21 @@ class TriCoLoNet(nn.Module):
             raise ValueError(f"unknown image encoder: {self.image_encoder}")
 
         if self.voxel_encoder in _VOXEL_ALIASES:
-            output["voxel_features"] = VoxelCNNEncoder(
+            # remat wraps the class (same variable tree, so checkpoints are
+            # interchangeable); train/deterministic pass positionally to
+            # satisfy static_argnums.
+            enc_cls = (
+                nn.remat(VoxelCNNEncoder, static_argnums=(2, 3))
+                if self.voxel_remat
+                else VoxelCNNEncoder
+            )
+            output["voxel_features"] = enc_cls(
                 voxel_size=self.voxel_size, ef_dim=self.ef_dim, z_dim=self.voxel_z_dim,
                 out_dim=self.out_dim, dtype=self.dtype,
                 param_dtype=self.param_dtype or jax.numpy.float32,
                 fused_bn_pool=self.voxel_fused_bn_pool,
                 masked_bn=self.voxel_masked_bn, name="voxel_encoder",
-            )(batch["voxels"], train=train, deterministic=deterministic)
+            )(batch["voxels"], train, deterministic)
         elif self.voxel_encoder is not None:
             raise ValueError(f"unknown voxel encoder: {self.voxel_encoder}")
 

@@ -209,7 +209,10 @@ class VoxelCNNEncoder(nn.Module):
     masked_bn: bool = False
 
     @nn.compact
-    def __call__(self, voxels: jax.Array, *, train: bool = False, deterministic: bool = True) -> jax.Array:
+    def __call__(self, voxels: jax.Array, train: bool = False, deterministic: bool = True) -> jax.Array:
+        # train/deterministic accept positional passing so nn.remat can mark
+        # them static (static_argnums=(2, 3) — the 128³ memory plan wraps
+        # this module in a rematerialization boundary, tricolo_net.py).
         if voxels.shape[1] != self.voxel_size:
             raise ValueError(
                 f"expected {self.voxel_size}^3 grids, got {voxels.shape[1:4]}"
