@@ -1,0 +1,149 @@
+"""Tile-sparse voxel path: must be EXACT vs the dense masked (submanifold)
+path — same values, same BN statistics, same gradients, same variables."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tricolo_tpu.models.voxel_cnn import VoxelCNNEncoder
+from tricolo_tpu.ops.tile_sparse import (
+    active_tile_ids,
+    gather_tiles,
+    scatter_tiles,
+    tile_counts,
+)
+
+
+def _solid_input(rng, B=2, D=32):
+    """RGBA-style input: a solid blob per sample + mask channel."""
+    z, y, x = np.ogrid[0:D, 0:D, 0:D]
+    vox = np.zeros((B, D, D, D, 4), np.float32)
+    for b in range(B):
+        c = rng.uniform(0.3 * D, 0.7 * D, 3)
+        r = rng.uniform(0.15 * D, 0.3 * D)
+        m = ((z - c[0]) ** 2 + (y - c[1]) ** 2 + (x - c[2]) ** 2) <= r * r
+        rgb = rng.random((int(m.sum()), 3)).astype(np.float32)
+        for ch in range(3):
+            vox[b, ..., ch][m] = rgb[:, ch]
+        vox[b, ..., 3][m] = 1.0
+    return jnp.asarray(vox)
+
+
+class TestTileOps:
+    def test_gather_scatter_roundtrip(self):
+        rng = np.random.default_rng(0)
+        B, D, C, tile = 2, 16, 3, 4
+        mask = np.zeros((B, D, D, D), np.float32)
+        mask[0, 0:4, 4:8, 0:4] = 1.0
+        mask[1, 12:16, 12:16, 12:16] = 1.0
+        x = jnp.asarray(rng.random((B, D, D, D, C)).astype(np.float32)) * jnp.asarray(
+            mask
+        )[..., None]
+        ids = active_tile_ids(jnp.asarray(mask), tile, budget=8)
+        assert int((ids < B * (D // tile) ** 3).sum()) == 2
+        tiles = gather_tiles(x, ids, tile, halo=0)
+        back = scatter_tiles(tiles, ids, B, D)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_halo_gather_matches_slices(self):
+        rng = np.random.default_rng(1)
+        B, D, C, tile = 1, 16, 2, 4
+        mask = np.zeros((B, D, D, D), np.float32)
+        mask[0, 4:8, 4:8, 4:8] = 1.0
+        x = jnp.asarray(rng.random((B, D, D, D, C)).astype(np.float32))
+        ids = active_tile_ids(jnp.asarray(mask), tile, budget=4)
+        tiles = gather_tiles(x, ids, tile, halo=1)
+        padded = np.pad(np.asarray(x), ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        np.testing.assert_array_equal(
+            np.asarray(tiles[0]), padded[0, 4:10, 4:10, 4:10]
+        )
+        # padding tiles come back zero
+        np.testing.assert_array_equal(np.asarray(tiles[1]), 0.0)
+
+    def test_budget_truncation_and_counts(self):
+        mask = np.zeros((1, 16, 16, 16), np.float32)
+        mask[0, :, :, :] = 1.0  # all 64 tiles active
+        counts = tile_counts(jnp.asarray(mask), 4)
+        assert int(counts[0]) == 64
+        ids = active_tile_ids(jnp.asarray(mask), 4, budget=16)
+        assert int((ids < 64).sum()) == 16  # truncated, ascending ids kept
+
+
+class TestTileSparseEncoder:
+    def _encoders(self, tile_sparse, blocks=2):
+        kw = dict(
+            voxel_size=32,
+            ef_dim=8,
+            z_dim=32,
+            out_dim=16,
+            masked_bn=True,
+            tile_sparse=tile_sparse,
+            tile_sparse_blocks=blocks,
+            tile_budget_frac=0.9,
+        )
+        return VoxelCNNEncoder(**kw)
+
+    @pytest.mark.parametrize("blocks", [1, 2, 3])
+    def test_matches_dense_masked(self, blocks):
+        """Forward values, BN batch statistics and parameter gradients of
+        the tile-sparse path equal the dense masked path (f32, rtol tied
+        to reduction-order noise)."""
+        rng = np.random.default_rng(2)
+        vox = _solid_input(rng)
+        dense = self._encoders(False)
+        sparse = self._encoders(True, blocks)
+        variables = dense.init(jax.random.PRNGKey(0), vox, True)
+        # identical parameter trees
+        vs = sparse.init(jax.random.PRNGKey(0), vox, True)
+        assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(vs)
+
+        def run(model, v):
+            out, mut = model.apply(v, vox, True, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+
+        out_d, stats_d = run(dense, variables)
+        out_s, stats_s = run(sparse, variables)
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_d), rtol=2e-5, atol=2e-6
+        )
+        for a, b in zip(jax.tree.leaves(stats_d), jax.tree.leaves(stats_s)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+            )
+
+        def loss(v, model):
+            out, _ = model.apply(v, vox, True, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        gd = jax.grad(lambda v: loss(v, dense))(variables)
+        gs = jax.grad(lambda v: loss(v, sparse))(variables)
+        for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            )
+
+    def test_eval_mode_matches(self):
+        rng = np.random.default_rng(3)
+        vox = _solid_input(rng)
+        dense = self._encoders(False)
+        sparse = self._encoders(True)
+        variables = dense.init(jax.random.PRNGKey(0), vox, True)
+        out_d = dense.apply(variables, vox, False)
+        out_s = sparse.apply(variables, vox, False)
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_d), rtol=2e-5, atol=2e-6
+        )
+
+    def test_requires_masked_bn(self):
+        """tile_sparse without masked_bn silently stays dense (the sparse
+        restriction is only exact under submanifold zeroing)."""
+        rng = np.random.default_rng(4)
+        vox = _solid_input(rng)
+        enc = VoxelCNNEncoder(
+            voxel_size=32, ef_dim=8, z_dim=32, out_dim=16,
+            masked_bn=False, tile_sparse=True,
+        )
+        variables = enc.init(jax.random.PRNGKey(0), vox, True)
+        out = enc.apply(variables, vox, False)
+        assert out.shape == (2, 16)

@@ -70,7 +70,9 @@ class TestFlatAdam:
         moments to the per-leaf optax chain — same math, fewer kernels."""
         rng = np.random.default_rng(1)
         params = jax.tree.map(jnp.asarray, self._tree(rng))
-        cfg_flat = load_config(["optimizer.weight_decay=0.01"])
+        cfg_flat = load_config(
+            ["optimizer.weight_decay=0.01", "optimizer.flat_update=true"]
+        )
         cfg_leaf = load_config(
             ["optimizer.weight_decay=0.01", "optimizer.flat_update=false"]
         )
@@ -96,7 +98,7 @@ class TestFlatAdam:
 
         rng = np.random.default_rng(2)
         params = jax.tree.map(jnp.asarray, self._tree(rng))
-        tx_f = make_optimizer(load_config([]))
+        tx_f = make_optimizer(load_config(["optimizer.flat_update=true"]))
         tx_l = make_optimizer(load_config(["optimizer.flat_update=false"]))
         s_f, s_l = tx_f.init(params), tx_l.init(params)
         grads = jax.tree.map(jnp.asarray, self._tree(rng))

@@ -66,11 +66,14 @@ def default_config() -> ConfigNode:
                 "name": "adam",
                 "lr": 0.00035,
                 "weight_decay": 1.0e-6,
-                # True (default): torch-Adam over one flattened buffer —
-                # same numbers, O(1) kernels instead of ~5 stages per leaf
-                # (~2 ms/step on v5e, PERF.md). False: per-leaf optax
-                # chain. Checkpoints convert between layouts on load.
-                "flat_update": True,
+                # torch-Adam over one flattened buffer — same numbers,
+                # O(1) kernels instead of ~5 stages per leaf. MEASURED
+                # NEGATIVE on v5e (PERF.md round 3): 86.9 vs 84.7 ms/step
+                # (the ravel/unravel copies cost more than the per-leaf
+                # dispatch they remove) and 10× the compile time (688 s vs
+                # 69 s). Kept as an option; checkpoints convert between
+                # layouts on load either way.
+                "flat_update": False,
             },
             # Cosine decay from start_epoch to max_epochs; inert at the
             # defaults since start_epoch == max_epochs (reference
@@ -116,6 +119,15 @@ def default_config() -> ConfigNode:
                         # Off by default — see PARITY.md for the measured
                         # delta behind the choice.
                         "masked_bn": False,
+                        # Tile-sparse compute for the first N blocks —
+                        # EXACT under masked_bn (submanifold zeros
+                        # everything outside active 8³ tiles); requires
+                        # masked_bn=true + a mask channel. Budget =
+                        # tile_budget_frac · B·(D/8)³ tiles; overflow
+                        # truncates (trainer warns).
+                        "tile_sparse": False,
+                        "tile_sparse_blocks": 2,
+                        "tile_budget_frac": 0.5,
                     },
                     "clip_model": "ViT-L/14",
                     "clip_feature_dim": 768,

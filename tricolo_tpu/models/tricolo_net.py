@@ -55,6 +55,9 @@ class TriCoLoNet(nn.Module):
     voxel_z_dim: int = 512
     voxel_fused_bn_pool: bool | None = None
     voxel_masked_bn: bool = False
+    voxel_tile_sparse: bool = False
+    voxel_tile_sparse_blocks: int = 2
+    voxel_tile_budget_frac: float = 0.5
     # Rematerialize the voxel stack in backward (precision.remat_voxel):
     # the 128³ memory plan — block-1 activations are (B,128³,32), 8× the
     # 64³ footprint, and recomputing them beats spilling at that size
@@ -97,6 +100,13 @@ class TriCoLoNet(nn.Module):
                 modules.VoxelCNNEncoder.get("fused_bn_pool", "auto")
             ],
             voxel_masked_bn=bool(modules.VoxelCNNEncoder.get("masked_bn", False)),
+            voxel_tile_sparse=bool(modules.VoxelCNNEncoder.get("tile_sparse", False)),
+            voxel_tile_sparse_blocks=int(
+                modules.VoxelCNNEncoder.get("tile_sparse_blocks", 2)
+            ),
+            voxel_tile_budget_frac=float(
+                modules.VoxelCNNEncoder.get("tile_budget_frac", 0.5)
+            ),
             voxel_remat=bool(cfg.precision.get("remat_voxel", False)),
             clip_feature_dim=modules.clip_feature_dim,
             clip_dropout=modules.CLIPTextEncoder.dropout,
@@ -158,7 +168,11 @@ class TriCoLoNet(nn.Module):
                 out_dim=self.out_dim, dtype=self.dtype,
                 param_dtype=self.param_dtype or jax.numpy.float32,
                 fused_bn_pool=self.voxel_fused_bn_pool,
-                masked_bn=self.voxel_masked_bn, name="voxel_encoder",
+                masked_bn=self.voxel_masked_bn,
+                tile_sparse=self.voxel_tile_sparse,
+                tile_sparse_blocks=self.voxel_tile_sparse_blocks,
+                tile_budget_frac=self.voxel_tile_budget_frac,
+                name="voxel_encoder",
             )(batch["voxels"], train, deterministic)
         elif self.voxel_encoder is not None:
             raise ValueError(f"unknown voxel encoder: {self.voxel_encoder}")

@@ -150,13 +150,20 @@ class BNReLUPool(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """Conv3D(k=3, same, no bias) → BatchNorm → ReLU → MaxPool(2)."""
+    """Conv3D(k=3, no bias) → BatchNorm → ReLU → MaxPool(2).
+
+    ``valid_padding=True`` is the tile-sparse path: the input arrives as
+    gathered halo tiles (T, t+2, t+2, t+2, C) and VALID conv produces the
+    (T, t, t, t, F) tile interior — the same kernel parameters either way,
+    so dense and tile-sparse checkpoints are interchangeable.
+    """
 
     features: int
     dtype: Any = None
     param_dtype: Any = jnp.float32
     fused_bn_pool: bool | None = None
     kernel_init: Any = torch_conv_kernel_init
+    valid_padding: bool = False
 
     @nn.compact
     def __call__(
@@ -170,7 +177,7 @@ class ConvBlock(nn.Module):
             self.features,
             kernel_size=(3, 3, 3),
             use_bias=False,
-            padding="SAME",
+            padding="VALID" if self.valid_padding else "SAME",
             kernel_init=self.kernel_init,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -207,6 +214,16 @@ class VoxelCNNEncoder(nn.Module):
     # sparse_cnn.py:11-40). Default off — PARITY.md records the measured
     # training-dynamics delta behind this choice.
     masked_bn: bool = False
+    # Tile-sparse compute (ops/tile_sparse.py): restrict the first
+    # ``tile_sparse_blocks`` blocks to active 8³ tiles — EXACT under the
+    # masked (submanifold) semantics, which zero everything outside active
+    # tiles anyway. Requires masked_bn and a mask channel; ignored
+    # otherwise. budget = tile_budget_frac · B · (D/8)³ active tiles
+    # (rounded up to 256); batches needing more lose their highest tiles
+    # (the trainer warns — see Trainer.init_state).
+    tile_sparse: bool = False
+    tile_sparse_blocks: int = 2
+    tile_budget_frac: float = 0.5
 
     @nn.compact
     def __call__(self, voxels: jax.Array, train: bool = False, deterministic: bool = True) -> jax.Array:
@@ -247,7 +264,28 @@ class VoxelCNNEncoder(nn.Module):
             # grad tile the MXU far better at Cin=4 than 3 (measured).
             x = jnp.pad(x, ((0, 0),) * 4 + ((0, 1),))
         channels = (self.ef_dim, self.ef_dim * 2, self.ef_dim * 4, self.ef_dim * 8, self.z_dim)
+
+        # Tile-sparse plan: active tiles from the INPUT occupancy, reused at
+        # every level (submanifold never dilates the active set; pooling
+        # maps a tile onto the same tile index at half resolution).
+        use_sparse = self.tile_sparse and self.masked_bn and mask is not None
+        n_sparse = 0
+        ids = None
+        if use_sparse:
+            from ..ops.tile_sparse import active_tile_ids
+
+            tile0 = 8
+            # sparse while the block's OUTPUT tile is still ≥ 1 voxel
+            n_sparse = min(self.tile_sparse_blocks, 3, len(channels))
+            batch = x.shape[0]
+            tg3 = (self.voxel_size // tile0) ** 3
+            budget = -(-int(self.tile_budget_frac * batch * tg3) // 256) * 256
+            budget = min(budget, batch * tg3)
+            ids = active_tile_ids(mask, tile0, budget)
+
+        grid = self.voxel_size
         for i, features in enumerate(channels):
+            sparse = i < n_sparse
             block = ConvBlock(
                 features,
                 dtype=self.dtype,
@@ -256,11 +294,23 @@ class VoxelCNNEncoder(nn.Module):
                 kernel_init=padded_rgb_conv_kernel_init
                 if (i == 0 and pad_rgb)
                 else torch_conv_kernel_init,
+                valid_padding=sparse,
             )
-            if mask is not None:
+            if sparse:
+                from ..ops.tile_sparse import gather_tiles, scatter_tiles
+
+                tile = tile0 >> i  # tile edge at this block's input grid
+                x_t = gather_tiles(x, ids, tile, halo=1)
+                m_t = gather_tiles(mask, ids, tile, halo=0)
+                x_t, m_t = block(x_t, train=train, mask=m_t)
+                batch = x.shape[0]
+                x = scatter_tiles(x_t, ids, batch, grid // 2)
+                mask = scatter_tiles(m_t, ids, batch, grid // 2)
+            elif mask is not None:
                 x, mask = block(x, train=train, mask=mask)
             else:
                 x = block(x, train=train)
+            grid //= 2
         x = x.reshape(x.shape[0], -1)  # (B, (D/32)^3 * z_dim); 4096 at D=64
         x = MLPHead(self.out_dim, self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype)(
             x, deterministic=deterministic

@@ -1,0 +1,197 @@
+"""Tile-sparse compute for the submanifold-faithful voxel encoder.
+
+The reference's spconv stack computes only at active voxel sites
+(sparse_cnn.py:11-40). The dense TPU rebuild computes everywhere — fine at
+64³ when BN statistics span all sites, but under the *masked* (spconv-
+faithful) semantics — activations hard-zeroed at inactive sites, BN
+statistics over active sites only — whole-grid compute is provably wasted:
+every active site lives in a tile that contains one, a 3³ conv at an
+active site reads at most a 1-voxel halo around its tile, and everything
+outside active tiles is exactly zero through the entire stack.
+
+This module restricts blocks to the active tiles:
+
+  dense grid → [active tile ids from the occupancy mask]
+             → gather (T, t+2, t+2, t+2, C) tiles with halo
+             → conv VALID (same kernel parameters as the dense path)
+             → masked BN / ReLU / MaxPool on tiles (stats are sums over
+               active sites — all inside gathered tiles, so identical to
+               the dense masked stats)
+             → scatter (T, t/2, t/2, t/2, C) back to the half-resolution
+               dense grid (zeros background)
+
+EXACT vs the dense masked path (tested): not an approximation. The active
+tile set is computed once from the INPUT occupancy and reused at every
+level — submanifold convs never dilate the active set, and 2³ pooling maps
+a tile to the same tile index at half resolution.
+
+Formulations are chosen by measurement (PERF.md round 3, v5e probes):
+
+* gather: a dense *windowed view* — overlapping (t+2)³ windows at stride t
+  built from three axis-wise pad+reshape+concat passes — followed by ONE
+  contiguous row-take of the active rows (s³·C ≈ 4-8 KB each). The naive
+  vmapped dynamic_slice gather measured 37 ms at block-1 scale and its
+  autodiff VJP (element scatter-add) 95 ms; this formulation costs a few
+  dense passes (~2-4 ms) + a fast row gather, and its hand-written VJP is
+  a unique-row scatter + `jax.linear_transpose` of the windowing (dense
+  overlap-adds).
+* scatter: rows into a tiled-layout buffer with sorted+unique promises,
+  then a free-form transpose to NDHWC (10 ms at block-1 scale vs 112 ms
+  for the NDHWC row-scatter).
+
+Static shapes: the number of active tiles is data-dependent, so a static
+``budget`` bounds it (jnp.nonzero(size=...)); batches whose active-tile
+count exceeds the budget lose their highest-index tiles (documented, like
+data.voxel_max_points truncation — the trainer warns when the budget
+looks too small; see VoxelCNNEncoder.tile_budget_frac).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def tile_counts(mask: jax.Array, tile: int) -> jax.Array:
+    """Per-sample active-tile counts (B,) — for budget diagnostics."""
+    B, D = mask.shape[0], mask.shape[1]
+    tg = D // tile
+    tiled = mask.reshape(B, tg, tile, tg, tile, tg, tile)
+    return jnp.sum(jnp.any(tiled > 0, axis=(2, 4, 6)), axis=(1, 2, 3))
+
+
+def active_tile_ids(mask: jax.Array, tile: int, budget: int) -> jax.Array:
+    """Sorted ids of tiles containing ≥1 active site.
+
+    mask: (B, D, D, D) or (B, D, D, D, 1), nonzero = active. Returns
+    (budget,) int32 ids into the flattened (B·tg³) tile grid, ascending,
+    padded with B·tg³ (the "no tile" sentinel).
+    """
+    if mask.ndim == 5:
+        mask = mask[..., 0]
+    B, D = mask.shape[0], mask.shape[1]
+    tg = D // tile
+    tiled = mask.reshape(B, tg, tile, tg, tile, tg, tile)
+    any_site = jnp.any(tiled > 0, axis=(2, 4, 6)).reshape(-1)
+    (ids,) = jnp.nonzero(any_site, size=budget, fill_value=B * tg**3)
+    return ids.astype(jnp.int32)
+
+
+def _window_axis(x: jax.Array, axis: int, tile: int, halo: int) -> jax.Array:
+    """Overlapping windows of size tile+2·halo at stride ``tile`` along
+    ``axis``: (…, D, …) → (…, tg, s, …). Pure pad+reshape+slice+concat —
+    linear, dense, transposable."""
+    D = x.shape[axis]
+    tg = D // tile
+    s = tile + 2 * halo
+    if halo == 0:
+        return x.reshape(*x.shape[:axis], tg, tile, *x.shape[axis + 1 :])
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (halo, tile - halo)  # window tg-1 reads halo past the end
+    xp = jnp.pad(x, pad)
+
+    def take(start, length):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + tg * tile)
+        chunk = xp[tuple(idx)].reshape(
+            *x.shape[:axis], tg, tile, *x.shape[axis + 1 :]
+        )
+        sub = [slice(None)] * chunk.ndim
+        sub[axis + 1] = slice(0, length)
+        return chunk[tuple(sub)]
+
+    # window k = padded positions [k·t, k·t + s): the aligned t-chunk plus
+    # the first 2·halo of the next aligned chunk.
+    return jnp.concatenate([take(0, tile), take(tile, 2 * halo)], axis=axis + 1)
+
+
+def _window_rows(x: jax.Array, tile: int, halo: int) -> jax.Array:
+    """(B, D, D, D, C) → (B·tg³, s, s, s, C): every tile's halo'd window as
+    one contiguous row (s = tile + 2·halo)."""
+    B, D, _, _, C = x.shape
+    tg = D // tile
+    s = tile + 2 * halo
+    w = _window_axis(x, 1, tile, halo)  # (B, tg, s, D, D, C)
+    w = _window_axis(w, 3, tile, halo)  # (B, tg, s, tg, s, D, C)
+    w = _window_axis(w, 5, tile, halo)  # (B, tg, s, tg, s, tg, s, C)
+    w = jnp.transpose(w, (0, 1, 3, 5, 2, 4, 6, 7))
+    return w.reshape(B * tg**3, s, s, s, C)
+
+
+def gather_tiles(
+    x: jax.Array, ids: jax.Array, tile: int, halo: int = 0
+) -> jax.Array:
+    """(T, s, s, s, C) tile gather from (B, D, D, D, C), s = tile+2·halo.
+
+    Padding ids return all-zero tiles. Differentiable in x (custom VJP:
+    unique-row scatter + linear transpose of the windowing)."""
+    return _gather_tiles(x, ids, tile, halo, x.shape[0], x.shape[1], x.shape[-1])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _gather_tiles(x, ids, tile, halo, batch, grid, channels):
+    out, _ = _gather_fwd(x, ids, tile, halo, batch, grid, channels)
+    return out
+
+
+def _take_rows(rows: jax.Array, ids: jax.Array, n_rows: int) -> jax.Array:
+    valid = ids < n_rows
+    safe = jnp.where(valid, ids, 0)
+    out = rows[safe]
+    return out * valid.reshape((-1,) + (1,) * (rows.ndim - 1)).astype(out.dtype)
+
+
+def _gather_fwd(x, ids, tile, halo, batch, grid, channels):
+    rows = _window_rows(x, tile, halo)
+    out = _take_rows(rows, ids, rows.shape[0])
+    return out, ids
+
+
+def _gather_bwd(tile, halo, batch, grid, channels, residuals, dy):
+    ids = residuals
+    n_rows = batch * (grid // tile) ** 3
+    T = ids.shape[0]
+    # Active dy rows land at their tile's row; padding ids land in per-tile
+    # trash rows beyond n_rows (kept unique + ascending for the scatter
+    # promises), which the slice below discards.
+    safe = jnp.where(ids < n_rows, ids, n_rows + jnp.arange(T, dtype=ids.dtype))
+    buf = jnp.zeros((n_rows + T, *dy.shape[1:]), dy.dtype)
+    buf = buf.at[safe].set(dy, indices_are_sorted=True, unique_indices=True)
+    d_rows = buf[:n_rows]
+    x_shape = (batch, grid, grid, grid, channels)
+    window = partial(_window_rows, tile=tile, halo=halo)
+    (dx,) = jax.linear_transpose(
+        window, jax.ShapeDtypeStruct(x_shape, dy.dtype)
+    )(d_rows)
+    return dx, None
+
+
+_gather_tiles.defvjp(_gather_fwd, _gather_bwd)
+
+
+def scatter_tiles(
+    tiles: jax.Array, ids: jax.Array, batch: int, grid: int
+) -> jax.Array:
+    """(T, t, t, t, C) disjoint tiles → dense (B, grid, grid, grid, C),
+    zeros background.
+
+    Tiled-layout set-scatter: each tile is one contiguous row of a
+    (B·tg³ + T, t³·C) buffer, written with sorted+unique index promises
+    (ascending active ids; per-tile trash rows for padding), then a free
+    transpose to NDHWC. The autodiff VJP is the corresponding row-gather.
+    """
+    T, tile = tiles.shape[0], tiles.shape[1]
+    C = tiles.shape[-1]
+    tg = grid // tile
+    n_rows = batch * tg**3
+    safe = jnp.where(ids < n_rows, ids, n_rows + jnp.arange(T, dtype=ids.dtype))
+    buf = jnp.zeros((n_rows + T, tile**3 * C), tiles.dtype)
+    buf = buf.at[safe].set(
+        tiles.reshape(T, -1), indices_are_sorted=True, unique_indices=True
+    )
+    t8 = buf[:n_rows].reshape(batch, tg, tg, tg, tile, tile, tile, C)
+    return jnp.transpose(t8, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
+        batch, grid, grid, grid, C
+    )

@@ -28,12 +28,14 @@ def flat_torch_adam(weight_decay: float = 0.0) -> optax.GradientTransformation:
     """torch-Adam over a single flattened parameter buffer.
 
     Numerically equivalent to the per-leaf optax chain (every op is
-    elementwise, so flattening changes nothing but kernel granularity), but
+    elementwise, so flattening changes nothing but kernel granularity):
     the whole moment update + direction computation runs as a handful of
     fused kernels over one (n_params,) buffer instead of ~5 stages × ~100
-    leaves of tiny dispatches — the per-leaf chain costs ~3.6 ms/step for
-    the 15 M-param flagship on v5e against a ~0.4 ms speed-of-light
-    (PERF.md "torch-Adam update").
+    leaves. MEASURED NEGATIVE end-to-end on v5e (PERF.md round 3): the
+    ravel/unravel copies cost more than the dispatch overhead they remove
+    (86.9 vs 84.7 ms/step) and the concatenate-of-everything HLO blows
+    compile time up 10× (688 s vs 69 s). Ships off by default
+    (optimizer.flat_update) as a documented negative result.
     """
     from jax.flatten_util import ravel_pytree
 
@@ -71,7 +73,7 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     opt = cfg.optimizer
     if opt.name.lower() != "adam":
         raise ValueError(f"unsupported optimizer: {opt.name}")
-    if opt.get("flat_update", True):
+    if opt.get("flat_update", False):
         return flat_torch_adam(opt.weight_decay or 0.0)
     transforms = []
     if opt.weight_decay:
