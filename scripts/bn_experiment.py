@@ -115,6 +115,15 @@ def main():
     )
     args = ap.parse_args()
 
+    # Six runs × fresh Trainer each → fresh jit objects; the persistent
+    # cache (keyed by HLO) makes runs 2..6 of each mode skip the compile.
+    import jax
+
+    from tricolo_tpu.utils.compcache import compilation_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     for override in args.extra:
         if override == "+platform=cpu":
             os.environ.setdefault(

@@ -245,3 +245,96 @@ class TestMaskedBN:
         m = updates["batch_stats"]["ConvBlock_0"]["BatchNorm_0"]["mean"]
         md = updates_d["batch_stats"]["ConvBlock_0"]["BatchNorm_0"]["mean"]
         assert not np.allclose(np.asarray(m), np.asarray(md), atol=1e-4)
+
+
+class TestMaskedHybrid:
+    """masked_hybrid_bn_relu_pool must match the plain masked composition
+    in values AND gradients (y, scale, bias), including ties/dead cells."""
+
+    def _data(self, seed=0, B=2, D=8, C=6):
+        rng = np.random.default_rng(seed)
+        y = jnp.asarray(rng.standard_normal((B, D, D, D, C)).astype(np.float32))
+        mask = jnp.asarray(
+            (rng.random((B, D, D, D, 1)) < 0.3).astype(np.float32)
+        )
+        scale = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        return y, scale, bias, mask
+
+    def test_forward_matches(self):
+        from tricolo_tpu.ops.fused_bn_pool import (
+            masked_bn_relu_pool,
+            masked_hybrid_bn_relu_pool,
+        )
+
+        y, scale, bias, mask = self._data()
+        ref = masked_bn_relu_pool(y, scale, bias, mask)
+        got = masked_hybrid_bn_relu_pool(y, scale, bias, mask)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_grads_match(self):
+        from tricolo_tpu.ops.fused_bn_pool import (
+            masked_bn_relu_pool,
+            masked_hybrid_bn_relu_pool,
+        )
+
+        y, scale, bias, mask = self._data(seed=1)
+
+        def loss(op, y, s, b):
+            pooled, mean, var, pm = op(y, s, b, mask)
+            # weight every output so all cotangent paths are exercised
+            w = jnp.arange(pooled.size, dtype=jnp.float32).reshape(pooled.shape)
+            return (
+                jnp.sum(pooled * w)
+                + jnp.sum(mean * 0.7)
+                + jnp.sum(var * 1.3)
+            )
+
+        ref = jax.grad(
+            lambda *a: loss(masked_bn_relu_pool, *a), argnums=(0, 1, 2)
+        )(y, scale, bias)
+        got = jax.grad(
+            lambda *a: loss(masked_hybrid_bn_relu_pool, *a), argnums=(0, 1, 2)
+        )(y, scale, bias)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+    def test_grads_match_with_ties_and_zero_scale(self):
+        """Ties route identically; the γ==0 channel follows the documented
+        hybrid deviation (dγ reported 0, dy/dβ still exact since A=0)."""
+        from tricolo_tpu.ops.fused_bn_pool import (
+            masked_bn_relu_pool,
+            masked_hybrid_bn_relu_pool,
+        )
+
+        y, scale, bias, mask = self._data(seed=2)
+        y = jnp.round(y * 2) / 2  # force ties inside pool windows
+        scale = scale.at[0].set(0.0)
+
+        def loss(op, y, s, b):
+            pooled, *_ = op(y, s, b, mask)
+            return jnp.sum(pooled**2)
+
+        ref = jax.grad(
+            lambda *a: loss(masked_bn_relu_pool, *a), argnums=(0, 1, 2)
+        )(y, scale, bias)
+        got = jax.grad(
+            lambda *a: loss(masked_hybrid_bn_relu_pool, *a), argnums=(0, 1, 2)
+        )(y, scale, bias)
+        dy_ref, dscale_ref, dbias_ref = ref
+        dy_got, dscale_got, dbias_got = got
+        np.testing.assert_allclose(
+            np.asarray(dy_got), np.asarray(dy_ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dbias_got), np.asarray(dbias_ref), rtol=1e-4, atol=1e-5
+        )
+        # nonzero-γ channels exact; γ==0 channel reported frozen
+        np.testing.assert_allclose(
+            np.asarray(dscale_got)[1:], np.asarray(dscale_ref)[1:],
+            rtol=1e-4, atol=1e-5,
+        )
+        assert float(dscale_got[0]) == 0.0

@@ -40,6 +40,7 @@ from ..ops.fused_bn_pool import (
     hybrid_bn_relu_pool,
     inference_bn_relu_pool,
     masked_bn_relu_pool,
+    masked_hybrid_bn_relu_pool,
     masked_inference_bn_relu_pool,
     reference_bn_relu_pool,
 )
@@ -109,9 +110,15 @@ class BNReLUPool(nn.Module):
         if train:
             if mask is not None:
                 # Submanifold-faithful mode: statistics over occupied sites
-                # only, inactive sites hard-zeroed (PARITY experiment; see
-                # ops.masked_bn_relu_pool).
-                pooled, mean, var, out_mask = masked_bn_relu_pool(
+                # only, inactive sites hard-zeroed. Default (None) is the
+                # hybrid hand-derived backward (pooled-resolution BN param
+                # grads); use_fused=False selects the plain composition.
+                op = (
+                    masked_bn_relu_pool
+                    if self.use_fused is False
+                    else masked_hybrid_bn_relu_pool
+                )
+                pooled, mean, var, out_mask = op(
                     x, scale, bias, mask, self.epsilon
                 )
             else:

@@ -470,6 +470,102 @@ def inference_bn_relu_pool(y, scale, bias, mean, var, eps=1e-5):
     return _relu_pool(y, mul, add)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def masked_hybrid_bn_relu_pool(y, scale, bias, mask, eps=1e-5):
+    """Masked (submanifold) BN → ReLU → zero-inactive → MaxPool(2³) with
+    the hand-derived hybrid backward.
+
+    Same contract and numerics as `masked_bn_relu_pool` (statistics over
+    active sites only, inactive hard-zeroed) but the backward mirrors
+    `hybrid_bn_relu_pool`: BN parameter grads reduce at POOLED resolution
+    via the argmax record — when a pooled cell m > 0 its argmax site is
+    active and positive, so relu'·mask = 1 there and ẑ = (m − β)/γ —
+    killing the full-resolution masked reduction passes; routing is the
+    VJP of reduce_window-max; dx is one fused elementwise pass times the
+    mask. ``mask`` is treated as non-differentiable (zero cotangent) —
+    it is input data / a pooled mask chain, never trained.
+
+    Known deviation (shared with `hybrid_bn_relu_pool`): at γ == 0.0
+    exactly, ẑ_argmax is unrecoverable from the pooled output and dγ is
+    reported as 0 (the channel stays frozen under any multiplicative
+    update). BN scales initialize at 1 and never hit exact 0.0 in
+    training; use `masked_bn_relu_pool` (use_fused=false) if that case
+    matters.
+    """
+    out, _ = _masked_hybrid_fwd(y, scale, bias, mask, eps)
+    return out
+
+
+def _masked_stats(y, mask, eps):
+    yf = y.astype(jnp.float32)
+    m = mask.astype(jnp.float32)
+    count = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(yf * m, axis=(0, 1, 2, 3)) / count
+    var = jnp.sum(jnp.square(yf) * m, axis=(0, 1, 2, 3)) / count - jnp.square(mean)
+    var = jnp.maximum(var, 0.0)
+    invstd = jax.lax.rsqrt(var + eps)
+    return mean, var, invstd, count
+
+
+def _masked_pool(a, mask):
+    pooled = jax.lax.reduce_window(
+        a, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
+    )
+    pooled_mask = jax.lax.reduce_window(
+        mask, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
+    )
+    return pooled, pooled_mask
+
+
+def _masked_hybrid_fwd(y, scale, bias, mask, eps):
+    _check_shapes(y, scale, bias)
+    mean, var, invstd, count = _masked_stats(y, mask, eps)
+    mul, add = _muladd(mean, invstd, scale, bias, y.dtype)
+    a = jnp.maximum(y * mul + add, 0.0) * mask.astype(y.dtype)
+    pooled, pooled_mask = _masked_pool(a, mask)
+    residuals = (y, pooled, mask, scale, bias, mean, invstd, count, mul, add)
+    return ((pooled, mean, var, pooled_mask), residuals)
+
+
+def _masked_hybrid_bwd(eps, residuals, cts):
+    g_out, g_mean, g_var, _g_pmask = cts  # pooled-mask cotangent: mask is data
+    y, pooled, mask, scale, bias, mean, invstd, count, mul, add = residuals
+
+    # Pooled-resolution BN parameter grads: pooled m > 0 ⟹ the argmax site
+    # is active (mask=1) and relu-live, where m = γ·ẑ + β.
+    live = (pooled > 0).astype(jnp.float32)
+    g32 = g_out.astype(jnp.float32) * live
+    scale32 = scale.astype(jnp.float32)
+    safe = jnp.where(scale32 == 0.0, 1.0, scale32)
+    zmax = (pooled.astype(jnp.float32) - bias.astype(jnp.float32)) / safe
+    zmax = jnp.where(scale32 == 0.0, 0.0, zmax)
+    dbeta = jnp.sum(g32, axis=(0, 1, 2, 3))
+    dgamma = jnp.sum(g32 * zmax, axis=(0, 1, 2, 3))
+
+    # dy = route(A·g·[m>0]) + (B + C·ẑ)·mask, with the masked-count n.
+    A32 = scale32 * invstd
+    B32 = -A32 * dbeta / count + g_mean / count
+    C32 = -A32 * dgamma / count + 2.0 * g_var / (count * invstd)
+
+    a = jnp.maximum(y * mul + add, 0) * mask.astype(y.dtype)
+    _, route = jax.vjp(
+        lambda t: jax.lax.reduce_window(
+            t, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
+        ),
+        a,
+    )
+    (routed,) = route((g32 * A32).astype(y.dtype))
+    zhat = y.astype(jnp.float32) * invstd - mean * invstd
+    dy = (
+        (routed.astype(jnp.float32) + (B32 + C32 * zhat))
+        * mask.astype(jnp.float32)
+    ).astype(y.dtype)
+    return dy, dgamma.astype(scale.dtype), dbeta.astype(bias.dtype), jnp.zeros_like(mask)
+
+
+masked_hybrid_bn_relu_pool.defvjp(_masked_hybrid_fwd, _masked_hybrid_bwd)
+
+
 def masked_bn_relu_pool(y, scale, bias, mask, eps=1e-5):
     """Submanifold-faithful variant: statistics over *occupied* sites only.
 

@@ -54,6 +54,24 @@ import jax
 import jax.numpy as jnp
 
 
+def host_tile_count(flat_u32, voxel_size: int, tile: int = 8) -> int:
+    """Total active tiles in a packed host batch (numpy, for the trainer's
+    budget diagnostic). flat_u32: (B, N) packed x|y|z site words with
+    0xFFFFFFFF padding (device_prep convention)."""
+    import numpy as np
+
+    total = 0
+    tg = voxel_size // tile
+    for row in flat_u32:
+        sites = row[row != np.uint32(0xFFFFFFFF)]
+        x = (sites >> 16) & 0xFF
+        y = (sites >> 8) & 0xFF
+        z = sites & 0xFF
+        tid = ((x // tile) * tg + (y // tile)) * tg + (z // tile)
+        total += len(np.unique(tid))
+    return int(total)
+
+
 def tile_counts(mask: jax.Array, tile: int) -> jax.Array:
     """Per-sample active-tile counts (B,) — for budget diagnostics."""
     B, D = mask.shape[0], mask.shape[1]

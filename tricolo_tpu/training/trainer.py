@@ -86,6 +86,7 @@ class Trainer:
             self.cfg.data.voxel_size,
             voxel_mask=_wants_voxel_mask(self.cfg),
         )
+        self._check_tile_budget(sample_batch)
         init_rng, self.rng = jax.random.split(self.rng)
         variables = jax.jit(self.model.init, static_argnames=("train",))(
             init_rng, device_batch, train=False
@@ -93,6 +94,38 @@ class Trainer:
         variables = self._graft_pretrained_backbone(variables)
         state = TrainState.create(variables, self.tx)
         return self._place_state(state)
+
+    def _check_tile_budget(self, sample_batch: dict) -> None:
+        """Warn when the tile-sparse budget looks too small for the data.
+
+        The sparse path silently drops highest-index tiles past the static
+        budget (ops/tile_sparse.py); one real batch's exact tile count is
+        a cheap canary for a budget that will truncate."""
+        voxel_cfg = self.cfg.model.modules.VoxelCNNEncoder
+        if not (
+            voxel_cfg.get("tile_sparse", False)
+            and voxel_cfg.get("masked_bn", False)
+            and "voxel_flat" in sample_batch
+        ):
+            return
+        from ..ops.tile_sparse import host_tile_count
+
+        voxel_size = self.cfg.data.voxel_size
+        batch = len(sample_batch["voxel_flat"])
+        tg3 = (voxel_size // 8) ** 3
+        frac = float(voxel_cfg.get("tile_budget_frac", 0.5))
+        budget = -(-int(frac * batch * tg3) // 256) * 256
+        need = host_tile_count(sample_batch["voxel_flat"], voxel_size)
+        if need > budget:
+            import warnings
+
+            warnings.warn(
+                f"tile_sparse budget {budget} (tile_budget_frac={frac}) is "
+                f"smaller than the {need} active tiles in the first batch — "
+                "highest-index tiles will be dropped. Raise "
+                "model.modules.VoxelCNNEncoder.tile_budget_frac.",
+                stacklevel=2,
+            )
 
     def _place_state(self, state):
         from ..parallel import shard_state
