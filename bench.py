@@ -68,13 +68,11 @@ def main():
     )
     args = ap.parse_args()
 
-    # Persist compiled executables across runs (keyed by HLO+platform):
-    # the flagship step takes minutes to compile on the tunneled TPU, and
-    # the driver's bench run should not pay it twice.
-    from tricolo_tpu.utils.compcache import compilation_cache_dir
-
-    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # NOTE: deliberately NO persistent compilation cache here. A
+    # warm-cache rerun with jax_compilation_cache_dir configured hung for
+    # 25 minutes on the tunneled axon backend (round 3; the cold run with
+    # the identical config finished in 6.5 min incl. compile) — until
+    # that interaction is understood the cache stays CPU-backend-only.
 
     # Size knobs go through load_config overrides so ${data.voxel_size}
     # interpolations (e.g. the voxel encoder's grid size) resolve right.

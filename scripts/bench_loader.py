@@ -36,10 +36,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from tricolo_tpu.utils.compcache import compilation_cache_dir
-
-    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # No persistent compilation cache on the TPU backend (warm reads hung
+    # the tunneled runtime in round 3 — see bench.py note).
 
     from tricolo_tpu.config import load_config
     from tricolo_tpu.data import DataModule

@@ -115,14 +115,10 @@ def main():
     )
     args = ap.parse_args()
 
-    # Six runs × fresh Trainer each → fresh jit objects; the persistent
-    # cache (keyed by HLO) makes runs 2..6 of each mode skip the compile.
-    import jax
-
-    from tricolo_tpu.utils.compcache import compilation_cache_dir
-
-    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # No persistent compilation cache on the TPU backend: warm-cache reads
+    # hung the tunneled axon runtime in round 3 (see bench.py note). The
+    # in-process jit cache still dedups across seeds of the same mode
+    # when runs share a process — which they do here.
 
     for override in args.extra:
         if override == "+platform=cpu":
