@@ -184,7 +184,7 @@ bool npy_parse_u8(const std::vector<uint8_t>& buf, size_t* data_offset,
 extern "C" {
 
 // Version tag so the Python binding can detect stale builds.
-int32_t tricolo_native_abi_version() { return 5; }
+int32_t tricolo_native_abi_version() { return 6; }
 
 // Packed (flat, rgb) words -> dense (B, D, D, D) u32 grid (zero elsewhere).
 // The host half of the data.voxel_transfer=dense path: runs per batch in
@@ -211,6 +211,68 @@ void tricolo_packed_to_dense(const uint32_t* flat, const uint32_t* rgb,
       // scatter drops them; a heap write here would corrupt memory.
       if (x >= d || y >= d || z >= d) continue;
       g[(x * d + y) * d + z] = c[i];
+    }
+  }
+}
+
+// Packed (flat, rgb) words -> halo'd window rows: (batch*tg^3, s^3) u32
+// with s = tile + 2*halo, plus a per-tile center-occupancy byte map
+// (batch*tg^3). Window (wa,wb,wc) of a sample covers grid coordinates
+// [w*tile - halo, w*tile + tile + halo) per axis (zeros past the grid
+// border); a site therefore lands in up to 8 windows (its home tile plus
+// face/edge/corner halos of neighbors). This is the host half of the
+// data.voxel_transfer=windowed path: the device-side halo'd tile gather
+// has no fast XLA/Mosaic formulation (PERF.md round 3), so the prefetch
+// thread materializes the windows while packing. Row/intra ordering
+// matches ops/tile_sparse.py: row = b*tg^3 + ((wa*tg)+wb)*tg + wc,
+// offset = (la*s + lb)*s + lc with axis a = (word >> 16).
+void tricolo_packed_to_windowed(const uint32_t* flat, const uint32_t* rgb,
+                                int64_t batch, int64_t n_points, int64_t d,
+                                int64_t tile, int64_t halo, uint32_t* rows,
+                                uint8_t* tile_occ) {
+  const int64_t tg = d / tile;
+  const int64_t s = tile + 2 * halo;
+  const int64_t s3 = s * s * s;
+  const int64_t tiles_per_sample = tg * tg * tg;
+  std::memset(rows, 0,
+              static_cast<size_t>(batch) * tiles_per_sample * s3 * sizeof(uint32_t));
+  std::memset(tile_occ, 0, static_cast<size_t>(batch) * tiles_per_sample);
+  for (int64_t b = 0; b < batch; ++b) {
+    const uint32_t* f = flat + b * n_points;
+    const uint32_t* c = rgb + b * n_points;
+    uint32_t* r = rows + b * tiles_per_sample * s3;
+    uint8_t* occ = tile_occ + b * tiles_per_sample;
+    for (int64_t i = 0; i < n_points; ++i) {
+      const uint32_t word = f[i];
+      if (word == 0xFFFFFFFFu) break;  // padding is trailing by contract
+      const int64_t v[3] = {(word >> 16) & 0xFF, (word >> 8) & 0xFF,
+                            word & 0xFF};
+      if (v[0] >= d || v[1] >= d || v[2] >= d) continue;  // malformed: skip
+      // Per axis: the home window, plus a neighbor when within halo reach.
+      int64_t w_opts[3][2];
+      int n_opts[3];
+      for (int axis = 0; axis < 3; ++axis) {
+        const int64_t home = v[axis] / tile;
+        const int64_t mod = v[axis] % tile;
+        n_opts[axis] = 0;
+        w_opts[axis][n_opts[axis]++] = home;
+        if (mod < halo && home > 0) w_opts[axis][n_opts[axis]++] = home - 1;
+        if (mod >= tile - halo && home + 1 < tg)
+          w_opts[axis][n_opts[axis]++] = home + 1;
+      }
+      const int64_t home_tile =
+          ((v[0] / tile) * tg + v[1] / tile) * tg + v[2] / tile;
+      occ[home_tile] = 1;
+      for (int ia = 0; ia < n_opts[0]; ++ia)
+        for (int ib = 0; ib < n_opts[1]; ++ib)
+          for (int ic = 0; ic < n_opts[2]; ++ic) {
+            const int64_t wa = w_opts[0][ia], wb = w_opts[1][ib],
+                          wc = w_opts[2][ic];
+            const int64_t la = v[0] - (wa * tile - halo);
+            const int64_t lb = v[1] - (wb * tile - halo);
+            const int64_t lc = v[2] - (wc * tile - halo);
+            r[((wa * tg + wb) * tg + wc) * s3 + (la * s + lb) * s + lc] = c[i];
+          }
     }
   }
 }

@@ -147,3 +147,128 @@ class TestTileSparseEncoder:
         variables = enc.init(jax.random.PRNGKey(0), vox, True)
         out = enc.apply(variables, vox, False)
         assert out.shape == (2, 16)
+
+
+class TestWindowedTransfer:
+    """voxel_transfer=windowed: host-materialized halo rows must reproduce
+    the dense masked path exactly, end to end."""
+
+    def _packed_batch(self, rng, B=2, D=32):
+        from tricolo_tpu.data.device_prep import pack_sparse_voxels
+
+        n_pad = 1024
+        flat = np.full((B, n_pad), 0xFFFFFFFF, np.uint32)
+        rgb = np.zeros((B, n_pad), np.uint32)
+        for b in range(B):
+            n = 700
+            sites = np.sort(rng.choice(D**3, n, replace=False))
+            coords = np.stack(
+                [sites // (D * D), (sites // D) % D, sites % D], 1
+            ).astype(np.uint8)
+            feats = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+            flat[b], rgb[b] = pack_sparse_voxels(coords, feats, n_pad)
+        return flat, rgb
+
+    def test_windowed_matches_dense_masked(self):
+        from tricolo_tpu.data.device_prep import (
+            densify_on_host,
+            unpack_dense_voxels,
+            windowed_on_host,
+        )
+
+        rng = np.random.default_rng(7)
+        D = 32
+        flat, rgb = self._packed_batch(rng, D=D)
+        windows, occ = windowed_on_host(flat, rgb, D)
+        dense = unpack_dense_voxels(
+            jnp.asarray(densify_on_host(flat, rgb, D)), jnp.float32, True
+        )
+
+        enc = VoxelCNNEncoder(
+            voxel_size=D, ef_dim=8, z_dim=32, out_dim=16,
+            masked_bn=True, tile_sparse=True, tile_budget_frac=1.0,
+        )
+        variables = enc.init(jax.random.PRNGKey(0), dense, True)
+        vw = enc.init(
+            jax.random.PRNGKey(0), None, True, True,
+            jnp.asarray(windows), jnp.asarray(occ),
+        )
+        assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(vw)
+
+        def run(v, *args):
+            out, mut = enc.apply(v, *args, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+
+        out_d, stats_d = run(variables, dense, True)
+        out_w, stats_w = run(
+            variables, None, True, True, jnp.asarray(windows), jnp.asarray(occ)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_w), np.asarray(out_d), rtol=2e-5, atol=2e-6
+        )
+        for a, b in zip(jax.tree.leaves(stats_d), jax.tree.leaves(stats_w)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+            )
+
+        def loss(v, *args):
+            out, _ = enc.apply(v, *args, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        gd = jax.grad(lambda v: loss(v, dense, True))(variables)
+        gw = jax.grad(
+            lambda v: loss(v, None, True, True, jnp.asarray(windows), jnp.asarray(occ))
+        )(variables)
+        for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gw)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            )
+
+    def test_requires_masked_and_sparse(self):
+        rng = np.random.default_rng(8)
+        flat, rgb = self._packed_batch(rng, D=32)
+        from tricolo_tpu.data.device_prep import windowed_on_host
+
+        windows, occ = windowed_on_host(flat, rgb, 32)
+        enc = VoxelCNNEncoder(voxel_size=32, ef_dim=8, z_dim=32, out_dim=16)
+        with pytest.raises(ValueError, match="windowed"):
+            enc.init(
+                jax.random.PRNGKey(0), None, True, True,
+                jnp.asarray(windows), jnp.asarray(occ),
+            )
+
+    def test_loader_windowed_mode(self):
+        """DataModule with voxel_transfer=windowed produces the windowed
+        keys and a train step runs end to end."""
+        from tricolo_tpu.config import load_config
+        from tricolo_tpu.data import DataModule
+
+        cfg = load_config(
+            [
+                "data=synthetic",
+                "data.voxel_transfer=windowed",
+                "model.voxel_encoder=VoxelCNNEncoder",
+                "model.modules.VoxelCNNEncoder.masked_bn=true",
+                "model.modules.VoxelCNNEncoder.tile_sparse=true",
+            ]
+        )
+        dm = DataModule(cfg)
+        dm.setup("fit")
+        batch = next(iter(dm.train_loader()))
+        D = cfg.data.voxel_size
+        tg3 = (D // 8) ** 3
+        assert batch["voxel_windows"].shape == (cfg.data.batch_size * tg3, 1000)
+        assert batch["voxel_tile_occ"].shape == (cfg.data.batch_size * tg3,)
+        assert "voxel_flat" not in batch
+
+        from tricolo_tpu.models.tricolo_net import TriCoLoNet
+        from tricolo_tpu.data.device_prep import prepare_device_batch
+
+        model = TriCoLoNet.from_config(cfg)
+        dev = prepare_device_batch(
+            {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)},
+            D,
+        )
+        variables = model.init(jax.random.PRNGKey(0), dev)
+        out = model.apply(variables, dev)
+        assert out["voxel_features"].shape == (cfg.data.batch_size, 512)

@@ -169,6 +169,66 @@ def densify_on_host(
     return grid[:, :d3].reshape(batch, voxel_size, voxel_size, voxel_size)
 
 
+def windowed_on_host(
+    flat_u32: "np.ndarray",
+    rgb_u32: "np.ndarray",
+    voxel_size: int,
+    tile: int = 8,
+    halo: int = 1,
+):
+    """Host twin of the (nonexistent-on-device) halo'd tile gather:
+    packed sparse → (B·tg³, s³) u32 window rows + per-tile occupancy.
+
+    The voxel_transfer=windowed path: every device-side halo'd tile gather
+    formulation measured 10-100× off bandwidth (PERF.md round 3), so the
+    prefetch thread materializes each tile's (tile+2·halo)³ window while
+    packing — a site lands in its home tile's window plus the halos of up
+    to 7 neighbors. C++ fast path with a vectorized numpy fallback.
+    """
+    from .. import native
+
+    if native.available():
+        return native.packed_to_windowed(flat_u32, rgb_u32, voxel_size, tile, halo)
+    batch, _ = flat_u32.shape
+    tg = voxel_size // tile
+    s = tile + 2 * halo
+    tg3, s3 = tg**3, s**3
+    rows = np.zeros(batch * tg3 * s3, np.uint32)
+    occ = np.zeros(batch * tg3, np.uint8)
+    b_idx = np.broadcast_to(
+        np.arange(batch, dtype=np.int64)[:, None], flat_u32.shape
+    )
+    v = np.stack(
+        [(flat_u32 >> 16) & 0xFF, (flat_u32 >> 8) & 0xFF, flat_u32 & 0xFF]
+    ).astype(np.int64)
+    valid = (flat_u32 != VOXEL_PAD_SENTINEL) & (v < voxel_size).all(axis=0)
+    home = v // tile
+    mod = v % tile
+    # Per axis: neighbor window (mutually exclusive directions for
+    # halo ≤ tile/2), or -1 when the site reaches no neighbor.
+    nbr = np.where(
+        (mod < halo) & (home > 0),
+        home - 1,
+        np.where((mod >= tile - halo) & (home + 1 < tg), home + 1, -1),
+    )
+    occ_idx = (b_idx * tg3 + (home[0] * tg + home[1]) * tg + home[2])[valid]
+    occ[occ_idx] = 1
+    for pick in range(8):
+        use_nbr = np.array(
+            [(pick >> 2) & 1, (pick >> 1) & 1, pick & 1], bool
+        ).reshape(3, 1, 1)
+        w = np.where(use_nbr, nbr, home)
+        sel = valid & (w >= 0).all(axis=0)
+        local = v - (w * tile - halo)
+        idx = (
+            (b_idx * tg3 + (w[0] * tg + w[1]) * tg + w[2]) * s3
+            + (local[0] * s + local[1]) * s
+            + local[2]
+        )
+        np.put(rows, idx[sel], rgb_u32[sel])
+    return rows.reshape(batch * tg3, s3), occ
+
+
 def prepare_device_batch(
     batch: dict, voxel_size: int, dtype=jnp.float32, voxel_mask: bool = False
 ) -> dict:
@@ -183,7 +243,12 @@ def prepare_device_batch(
     out: dict = {"tokens": batch["tokens"]}
     if "images" in batch:
         out["images"] = normalize_images(batch["images"], dtype)
-    if "voxel_grid" in batch:
+    if "voxel_windows" in batch:
+        # Windowed transfer: the rows stay packed u32 — the tile-sparse
+        # encoder unpacks AFTER taking the active rows (~19% of the data).
+        out["voxel_windows"] = batch["voxel_windows"]
+        out["voxel_tile_occ"] = batch["voxel_tile_occ"]
+    elif "voxel_grid" in batch:
         out["voxels"] = unpack_dense_voxels(batch["voxel_grid"], dtype, voxel_mask)
     elif "voxel_flat" in batch:
         out["voxels"] = densify_voxels(

@@ -49,7 +49,7 @@ def collate(
     transfer overlaps with compute. Pick "packed" when host→device
     bandwidth is the constraint, "dense" when device step time is.
     """
-    from .device_prep import VOXEL_PAD_SENTINEL, densify_on_host
+    from .device_prep import VOXEL_PAD_SENTINEL, densify_on_host, windowed_on_host
 
     batch: dict[str, Any] = {
         "model_id": [item["model_id"] for item in items],
@@ -73,6 +73,14 @@ def collate(
             rgb[i, :n] = item["voxel_rgb"][:n]
         if voxel_transfer == "dense":
             batch["voxel_grid"] = densify_on_host(flat, rgb, voxel_size)
+        elif voxel_transfer == "windowed":
+            # Host materializes each 8³ tile's halo'd 10³ window (the
+            # device-side halo gather has no fast formulation — PERF.md
+            # round 3) + the per-tile occupancy map. Feeds the tile-sparse
+            # masked voxel encoder; ~2× the dense grid's H2D bytes.
+            windows, occ = windowed_on_host(flat, rgb, voxel_size)
+            batch["voxel_windows"] = windows
+            batch["voxel_tile_occ"] = occ
         else:
             batch["voxel_flat"] = flat
             batch["voxel_rgb"] = rgb

@@ -163,7 +163,7 @@ class TriCoLoNet(nn.Module):
                 if self.voxel_remat
                 else VoxelCNNEncoder
             )
-            output["voxel_features"] = enc_cls(
+            enc = enc_cls(
                 voxel_size=self.voxel_size, ef_dim=self.ef_dim, z_dim=self.voxel_z_dim,
                 out_dim=self.out_dim, dtype=self.dtype,
                 param_dtype=self.param_dtype or jax.numpy.float32,
@@ -173,7 +173,15 @@ class TriCoLoNet(nn.Module):
                 tile_sparse_blocks=self.voxel_tile_sparse_blocks,
                 tile_budget_frac=self.voxel_tile_budget_frac,
                 name="voxel_encoder",
-            )(batch["voxels"], train, deterministic)
+            )
+            if "voxel_windows" in batch:
+                # data.voxel_transfer=windowed: host-windowed tile rows
+                output["voxel_features"] = enc(
+                    None, train, deterministic,
+                    batch["voxel_windows"], batch["voxel_tile_occ"],
+                )
+            else:
+                output["voxel_features"] = enc(batch["voxels"], train, deterministic)
         elif self.voxel_encoder is not None:
             raise ValueError(f"unknown voxel encoder: {self.voxel_encoder}")
 

@@ -233,10 +233,22 @@ class VoxelCNNEncoder(nn.Module):
     tile_budget_frac: float = 0.5
 
     @nn.compact
-    def __call__(self, voxels: jax.Array, train: bool = False, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        voxels: jax.Array | None,
+        train: bool = False,
+        deterministic: bool = True,
+        windows: jax.Array | None = None,
+        tile_occ: jax.Array | None = None,
+    ) -> jax.Array:
         # train/deterministic accept positional passing so nn.remat can mark
         # them static (static_argnums=(2, 3) — the 128³ memory plan wraps
         # this module in a rematerialization boundary, tricolo_net.py).
+        if windows is not None:
+            # voxel_transfer=windowed: host-materialized halo'd tile rows
+            # (R, s³) u32 + per-tile occupancy; block 1 runs tile-sparse
+            # directly off the rows, no dense input grid exists at all.
+            return self._windowed_forward(windows, tile_occ, train, deterministic)
         if voxels.shape[1] != self.voxel_size:
             raise ValueError(
                 f"expected {self.voxel_size}^3 grids, got {voxels.shape[1:4]}"
@@ -322,4 +334,66 @@ class VoxelCNNEncoder(nn.Module):
         x = MLPHead(self.out_dim, self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype)(
             x, deterministic=deterministic
         )
+        return l2_normalize(x.astype(jnp.float32))
+
+    def _windowed_forward(self, windows, tile_occ, train, deterministic):
+        """Block 1 tile-sparse from host-windowed rows; blocks 2+ dense.
+
+        ``windows``: (B·tg³, s³) u32 packed rows (s = 10), ``tile_occ``:
+        (B·tg³,) occupancy — both from data.voxel_transfer=windowed
+        (device_prep.windowed_on_host). Same variable tree as the dense
+        path (ConvBlock_0..4 + MLPHead_0 in order), so checkpoints
+        interchange. Runs inside the parent's nn.compact scope.
+        """
+        if not (self.masked_bn and self.tile_sparse):
+            raise ValueError(
+                "windowed voxel input requires masked_bn=true + tile_sparse=true"
+            )
+        from ..data.device_prep import unpack_dense_voxels
+        from ..ops.tile_sparse import scatter_tiles
+
+        tile0, halo = 8, 1
+        s = tile0 + 2 * halo
+        tg3 = (self.voxel_size // tile0) ** 3
+        n_rows = windows.shape[0]
+        batch = n_rows // tg3
+        compute_dtype = self.dtype or jnp.float32
+        budget = -(-int(self.tile_budget_frac * batch * tg3) // 256) * 256
+        budget = min(budget, batch * tg3)
+
+        (ids,) = jnp.nonzero(tile_occ > 0, size=budget, fill_value=n_rows)
+        ids = ids.astype(jnp.int32)
+        valid = ids < n_rows
+        rows = jnp.where(valid[:, None], windows[jnp.where(valid, ids, 0)], 0)
+        unpacked = unpack_dense_voxels(
+            rows.reshape(-1, s, s, s), compute_dtype, with_mask=True
+        )
+        # RGB zero-padded to 4 channels (see padded_rgb_conv_kernel_init);
+        # the BN mask is the window's CENTER occupancy.
+        x_t = jnp.pad(unpacked[..., :3], ((0, 0),) * 4 + ((0, 1),))
+        m_t = unpacked[:, halo:-halo, halo:-halo, halo:-halo, 3:]
+
+        channels = (self.ef_dim, self.ef_dim * 2, self.ef_dim * 4, self.ef_dim * 8, self.z_dim)
+        x_t, m_t = ConvBlock(
+            channels[0],
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            fused_bn_pool=self.fused_bn_pool,
+            kernel_init=padded_rgb_conv_kernel_init,
+            valid_padding=True,
+        )(x_t, train=train, mask=m_t)
+        grid = self.voxel_size // 2
+        x = scatter_tiles(x_t, ids, batch, grid)
+        mask = scatter_tiles(m_t, ids, batch, grid)
+        for features in channels[1:]:
+            x, mask = ConvBlock(
+                features,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                fused_bn_pool=self.fused_bn_pool,
+            )(x, train=train, mask=mask)
+        x = x.reshape(x.shape[0], -1)
+        x = MLPHead(
+            self.out_dim, self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype
+        )(x, deterministic=deterministic)
         return l2_normalize(x.astype(jnp.float32))

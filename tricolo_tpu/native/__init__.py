@@ -18,7 +18,7 @@ import subprocess
 
 import numpy as np
 
-_ABI_VERSION = 5
+_ABI_VERSION = 6
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(os.path.dirname(_HERE))
 _SRC_DIR = os.path.join(_REPO_ROOT, "native")
@@ -52,6 +52,12 @@ def _bind(lib: ctypes.CDLL):
     lib.tricolo_packed_to_dense.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.tricolo_packed_to_windowed.restype = None
+    lib.tricolo_packed_to_windowed.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p,
     ]
 
 
@@ -123,6 +129,30 @@ def packed_to_dense(flat: np.ndarray, rgb: np.ndarray, d: int) -> np.ndarray:
         flat.ctypes.data, rgb.ctypes.data, batch, n_points, d, grid.ctypes.data
     )
     return grid
+
+
+def packed_to_windowed(
+    flat: np.ndarray, rgb: np.ndarray, d: int, tile: int = 8, halo: int = 1
+):
+    """Packed (B, N) u32 pairs → halo'd window rows.
+
+    Returns (rows (B·tg³, s³) u32, tile_occ (B·tg³,) u8) with
+    s = tile + 2·halo — the host half of voxel_transfer=windowed (see the
+    C++ docstring for the layout contract)."""
+    if not available():
+        raise RuntimeError("native library unavailable; use the numpy fallback")
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint32)
+    batch, n_points = flat.shape
+    tg = d // tile
+    s = tile + 2 * halo
+    rows = np.empty((batch * tg**3, s**3), np.uint32)
+    occ = np.empty(batch * tg**3, np.uint8)
+    _lib.tricolo_packed_to_windowed(
+        flat.ctypes.data, rgb.ctypes.data, batch, n_points, d, tile, halo,
+        rows.ctypes.data, occ.ctypes.data,
+    )
+    return rows, occ
 
 
 def load_npz_voxels_packed(path: str, member: str, n_cap: int | None = None):

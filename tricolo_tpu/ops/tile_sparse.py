@@ -125,9 +125,10 @@ def _window_axis(x: jax.Array, axis: int, tile: int, halo: int) -> jax.Array:
     return jnp.concatenate([take(0, tile), take(tile, 2 * halo)], axis=axis + 1)
 
 
-def _window_rows(x: jax.Array, tile: int, halo: int) -> jax.Array:
-    """(B, D, D, D, C) → (B·tg³, s, s, s, C): every tile's halo'd window as
-    one contiguous row (s = tile + 2·halo)."""
+def _window_rows_reshape(x: jax.Array, tile: int, halo: int) -> jax.Array:
+    """Windowing via axis-wise pad+reshape+concat (reference formulation;
+    measured 84 ms at block-1 scale on v5e — small-channel minor dims
+    poison every XLA layout)."""
     B, D, _, _, C = x.shape
     tg = D // tile
     s = tile + 2 * halo
@@ -136,6 +137,40 @@ def _window_rows(x: jax.Array, tile: int, halo: int) -> jax.Array:
     w = _window_axis(w, 5, tile, halo)  # (B, tg, s, tg, s, tg, s, C)
     w = jnp.transpose(w, (0, 1, 3, 5, 2, 4, 6, 7))
     return w.reshape(B * tg**3, s, s, s, C)
+
+
+def _window_rows_patches(x: jax.Array, tile: int, halo: int) -> jax.Array:
+    """Windowing as a depthwise identity convolution
+    (conv_general_dilated_patches): the conv units do the data movement —
+    no gather, no layout-hostile concats — and the linear transpose is the
+    transposed conv XLA already lowers well."""
+    B, D, _, _, C = x.shape
+    tg = D // tile
+    s = tile + 2 * halo
+    if halo == 0:
+        # plain tiling — the reshape path is free of overlaps and cheap
+        return _window_rows_reshape(x, tile, halo)
+    p = jax.lax.conv_general_dilated_patches(
+        x,
+        filter_shape=(s, s, s),
+        window_strides=(tile, tile, tile),
+        padding=((halo, halo),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    # (B, tg, tg, tg, C·s³) with the feature dim ordered (C, sz, sy, sx)
+    p = p.reshape(B * tg**3, C, s, s, s)
+    return jnp.moveaxis(p, 1, -1)
+
+
+# Selected by measurement on the target backend (PERF.md round 3): the
+# patches (depthwise-conv) variant looked promising but measured 52 ms fwd
+# and 5.9 s (!) for the transposed conv in backward on v5e; the reshape
+# formulation is bad (84 ms at block-1 scale) but strictly the least bad
+# differentiable option. Device-side halo'd tile gather at small C has no
+# fast formulation on this stack — the production answer is host-side
+# windowing (voxel_transfer=windowed); this path remains for correctness
+# tests and non-TPU backends.
+_window_rows = _window_rows_reshape
 
 
 def gather_tiles(

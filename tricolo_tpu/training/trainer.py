@@ -105,17 +105,22 @@ class Trainer:
         if not (
             voxel_cfg.get("tile_sparse", False)
             and voxel_cfg.get("masked_bn", False)
-            and "voxel_flat" in sample_batch
         ):
             return
-        from ..ops.tile_sparse import host_tile_count
-
         voxel_size = self.cfg.data.voxel_size
-        batch = len(sample_batch["voxel_flat"])
         tg3 = (voxel_size // 8) ** 3
+        if "voxel_tile_occ" in sample_batch:
+            need = int(np.asarray(sample_batch["voxel_tile_occ"]).sum())
+            batch = sample_batch["voxel_tile_occ"].shape[0] // tg3
+        elif "voxel_flat" in sample_batch:
+            from ..ops.tile_sparse import host_tile_count
+
+            batch = len(sample_batch["voxel_flat"])
+            need = host_tile_count(sample_batch["voxel_flat"], voxel_size)
+        else:
+            return
         frac = float(voxel_cfg.get("tile_budget_frac", 0.5))
         budget = -(-int(frac * batch * tg3) // 256) * 256
-        need = host_tile_count(sample_batch["voxel_flat"], voxel_size)
         if need > budget:
             import warnings
 
