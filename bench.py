@@ -90,16 +90,41 @@ def main():
     # Representative solid-voxel occupancy: ~8k occupied sites of 64³
     # (scaled 8× at 128³ — same solid fraction).
     n_points = 8192 * (args.voxel_size**3) // (64**3)
-    # Deployment input path: the host densifies during prefetch and ships
-    # the u32 grid (data.voxel_transfer=dense) — H2D overlaps with compute
-    # on real hosts, and the per-step device scatter (~6.6 ms) disappears.
-    # The A100 estimate likewise excludes the host-side collate.
-    cfg.data.voxel_transfer = "dense"
+    # Deployment input path: the host materializes each 8³ tile's halo'd
+    # window during prefetch (data.voxel_transfer=windowed) — H2D overlaps
+    # with compute on real hosts — and the voxel encoder runs block 1
+    # tile-sparse off the active rows under the masked (submanifold,
+    # reference-faithful) semantics: 53.1 vs 58.3 ms fwd+bwd against the
+    # round-2 dense unmasked encoder (PERF.md round 3). The A100 estimate
+    # likewise excludes the host-side collate.
+    if not any(o.startswith("data.voxel_transfer") for o in args.override):
+        cfg.data.voxel_transfer = "windowed_compact"
     if args.voxel_size >= 128 and "precision.remat_voxel=true" not in args.override:
         # 128³ memory plan: block-1 activations alone are (B,128³,32) bf16
         # = 134 MB·B/chip; batch 32 + rematerialized voxel stack fits a
         # 16 GB v5e (see PERF.md "128³ configuration").
         cfg.precision.remat_voxel = True
+
+    host_batches = [_host_batch(cfg, n_points=n_points, seed=s) for s in range(2)]
+
+    if (
+        cfg.data.voxel_transfer in ("windowed", "windowed_compact")
+        and cfg.model.voxel_encoder is not None
+        and not any(o.startswith("model.modules.VoxelCNNEncoder.tile_budget") for o in args.override)
+    ):
+        # Size the active-tile budget to the data (the trainer's budget
+        # diagnostic recommends exactly this for real datasets): the config
+        # default 0.5 is a safe ceiling, but padding rows cost sparse
+        # compute — at solid-shape occupancy (~10-20% of tiles) a fitted
+        # budget is the difference between the windowed path winning and
+        # losing to the dense encoder.
+        from tricolo_tpu.ops.tile_sparse import host_tile_count
+
+        tg3 = (cfg.data.voxel_size // 8) ** 3
+        worst = max(host_tile_count(b["voxel_flat"], cfg.data.voxel_size) for b in host_batches)
+        budget = -(-int(worst * 1.25) // 256) * 256  # 25% headroom, /256 rows
+        frac = min(1.0, budget / (cfg.data.batch_size * tg3))
+        cfg.model.modules.VoxelCNNEncoder.tile_budget_frac = frac
 
     mesh = make_mesh(cfg.parallel.data_parallel)
     model = TriCoLoNet.from_config(cfg)
@@ -109,18 +134,35 @@ def main():
     from tricolo_tpu.data.device_prep import densify_on_host
 
     def to_transfer(host: dict) -> dict:
-        if cfg.data.voxel_transfer != "dense":
-            return host
         host = dict(host)
-        host["voxel_grid"] = densify_on_host(
-            host.pop("voxel_flat"), host.pop("voxel_rgb"), cfg.data.voxel_size
-        )
+        if cfg.data.voxel_transfer == "dense":
+            host["voxel_grid"] = densify_on_host(
+                host.pop("voxel_flat"), host.pop("voxel_rgb"), cfg.data.voxel_size
+            )
+        elif cfg.data.voxel_transfer == "windowed":
+            from tricolo_tpu.data.device_prep import windowed_on_host
+
+            windows, occ = windowed_on_host(
+                host.pop("voxel_flat"), host.pop("voxel_rgb"), cfg.data.voxel_size
+            )
+            host["voxel_windows"] = windows
+            host["voxel_tile_occ"] = occ
+        elif cfg.data.voxel_transfer == "windowed_compact":
+            from tricolo_tpu.data.device_prep import windowed_compact_on_host
+
+            tg3 = (cfg.data.voxel_size // 8) ** 3
+            frac = float(cfg.model.modules.VoxelCNNEncoder.tile_budget_frac)
+            budget = -(-int(frac * cfg.data.batch_size * tg3) // 256) * 256
+            budget = min(budget, cfg.data.batch_size * tg3)
+            rows, row_ids, _ = windowed_compact_on_host(
+                host.pop("voxel_flat"), host.pop("voxel_rgb"),
+                cfg.data.voxel_size, budget,
+            )
+            host["voxel_rows"] = rows
+            host["voxel_row_ids"] = row_ids
         return host
 
-    batches = [
-        shard_batch(to_transfer(_host_batch(cfg, n_points=n_points, seed=s)), mesh)
-        for s in range(2)
-    ]
+    batches = [shard_batch(to_transfer(b), mesh) for b in host_batches]
 
     import jax.numpy as jnp
     from tricolo_tpu.data.device_prep import prepare_device_batch

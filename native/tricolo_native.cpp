@@ -18,14 +18,43 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
+
+// Run f(b0, b1) over [0, batch) split across worker threads. Thread count:
+// TRICOLO_NATIVE_THREADS env if set, else hardware_concurrency — the
+// windowing/densify sweeps run in the prefetch thread and are trivially
+// sample-parallel (each sample writes only its own output rows).
+template <typename F>
+void parallel_batches(int64_t batch, F f) {
+  int64_t n = 0;
+  if (const char* env = std::getenv("TRICOLO_NATIVE_THREADS")) {
+    n = std::atoll(env);
+  }
+  if (n <= 0) n = static_cast<int64_t>(std::thread::hardware_concurrency());
+  n = std::max<int64_t>(1, std::min(n, batch));
+  if (n == 1) {
+    f(static_cast<int64_t>(0), batch);
+    return;
+  }
+  std::vector<std::thread> workers;
+  const int64_t chunk = (batch + n - 1) / n;
+  for (int64_t t = 0; t < n; ++t) {
+    const int64_t b0 = t * chunk;
+    const int64_t b1 = std::min(batch, b0 + chunk);
+    if (b0 >= b1) break;
+    workers.emplace_back([&f, b0, b1] { f(b0, b1); });
+  }
+  for (auto& w : workers) w.join();
+}
 
 void set_err(char* err, int errlen, const std::string& msg) {
   if (err && errlen > 0) {
@@ -184,7 +213,7 @@ bool npy_parse_u8(const std::vector<uint8_t>& buf, size_t* data_offset,
 extern "C" {
 
 // Version tag so the Python binding can detect stale builds.
-int32_t tricolo_native_abi_version() { return 6; }
+int32_t tricolo_native_abi_version() { return 7; }
 
 // Packed (flat, rgb) words -> dense (B, D, D, D) u32 grid (zero elsewhere).
 // The host half of the data.voxel_transfer=dense path: runs per batch in
@@ -195,24 +224,28 @@ void tricolo_packed_to_dense(const uint32_t* flat, const uint32_t* rgb,
                              int64_t batch, int64_t n_points, int64_t d,
                              uint32_t* grid) {
   const int64_t d3 = d * d * d;
-  std::memset(grid, 0, static_cast<size_t>(batch) * d3 * sizeof(uint32_t));
-  for (int64_t b = 0; b < batch; ++b) {
-    const uint32_t* f = flat + b * n_points;
-    const uint32_t* c = rgb + b * n_points;
-    uint32_t* g = grid + b * d3;
-    for (int64_t i = 0; i < n_points; ++i) {
-      const uint32_t word = f[i];
-      if (word == 0xFFFFFFFFu) break;  // padding is trailing by contract
-      const int64_t x = (word >> 16) & 0xFF;
-      const int64_t y = (word >> 8) & 0xFF;
-      const int64_t z = word & 0xFF;
-      // Out-of-range coordinates (e.g. a packed cache built at a larger
-      // voxel_size) are skipped — the numpy fallback raises and the device
-      // scatter drops them; a heap write here would corrupt memory.
-      if (x >= d || y >= d || z >= d) continue;
-      g[(x * d + y) * d + z] = c[i];
+  parallel_batches(batch, [=](int64_t b0, int64_t b1) {
+    std::memset(grid + b0 * d3, 0,
+                static_cast<size_t>(b1 - b0) * d3 * sizeof(uint32_t));
+    for (int64_t b = b0; b < b1; ++b) {
+      const uint32_t* f = flat + b * n_points;
+      const uint32_t* c = rgb + b * n_points;
+      uint32_t* g = grid + b * d3;
+      for (int64_t i = 0; i < n_points; ++i) {
+        const uint32_t word = f[i];
+        if (word == 0xFFFFFFFFu) break;  // padding is trailing by contract
+        const int64_t x = (word >> 16) & 0xFF;
+        const int64_t y = (word >> 8) & 0xFF;
+        const int64_t z = word & 0xFF;
+        // Out-of-range coordinates (e.g. a packed cache built at a larger
+        // voxel_size) are skipped — the numpy fallback raises and the
+        // device scatter drops them; a heap write here would corrupt
+        // memory.
+        if (x >= d || y >= d || z >= d) continue;
+        g[(x * d + y) * d + z] = c[i];
+      }
     }
-  }
+  });
 }
 
 // Packed (flat, rgb) words -> halo'd window rows: (batch*tg^3, s^3) u32
@@ -234,47 +267,151 @@ void tricolo_packed_to_windowed(const uint32_t* flat, const uint32_t* rgb,
   const int64_t s = tile + 2 * halo;
   const int64_t s3 = s * s * s;
   const int64_t tiles_per_sample = tg * tg * tg;
-  std::memset(rows, 0,
-              static_cast<size_t>(batch) * tiles_per_sample * s3 * sizeof(uint32_t));
-  std::memset(tile_occ, 0, static_cast<size_t>(batch) * tiles_per_sample);
-  for (int64_t b = 0; b < batch; ++b) {
-    const uint32_t* f = flat + b * n_points;
-    const uint32_t* c = rgb + b * n_points;
-    uint32_t* r = rows + b * tiles_per_sample * s3;
-    uint8_t* occ = tile_occ + b * tiles_per_sample;
-    for (int64_t i = 0; i < n_points; ++i) {
-      const uint32_t word = f[i];
-      if (word == 0xFFFFFFFFu) break;  // padding is trailing by contract
-      const int64_t v[3] = {(word >> 16) & 0xFF, (word >> 8) & 0xFF,
-                            word & 0xFF};
-      if (v[0] >= d || v[1] >= d || v[2] >= d) continue;  // malformed: skip
-      // Per axis: the home window, plus a neighbor when within halo reach.
-      int64_t w_opts[3][2];
-      int n_opts[3];
-      for (int axis = 0; axis < 3; ++axis) {
-        const int64_t home = v[axis] / tile;
-        const int64_t mod = v[axis] % tile;
-        n_opts[axis] = 0;
-        w_opts[axis][n_opts[axis]++] = home;
-        if (mod < halo && home > 0) w_opts[axis][n_opts[axis]++] = home - 1;
-        if (mod >= tile - halo && home + 1 < tg)
-          w_opts[axis][n_opts[axis]++] = home + 1;
+  parallel_batches(batch, [=](int64_t b0, int64_t b1) {
+    std::memset(rows + b0 * tiles_per_sample * s3, 0,
+                static_cast<size_t>(b1 - b0) * tiles_per_sample * s3 *
+                    sizeof(uint32_t));
+    std::memset(tile_occ + b0 * tiles_per_sample,
+                0, static_cast<size_t>(b1 - b0) * tiles_per_sample);
+    for (int64_t b = b0; b < b1; ++b) {
+      const uint32_t* f = flat + b * n_points;
+      const uint32_t* c = rgb + b * n_points;
+      uint32_t* r = rows + b * tiles_per_sample * s3;
+      uint8_t* occ = tile_occ + b * tiles_per_sample;
+      for (int64_t i = 0; i < n_points; ++i) {
+        const uint32_t word = f[i];
+        if (word == 0xFFFFFFFFu) break;  // padding is trailing by contract
+        const int64_t v[3] = {(word >> 16) & 0xFF, (word >> 8) & 0xFF,
+                              word & 0xFF};
+        if (v[0] >= d || v[1] >= d || v[2] >= d) continue;  // malformed
+        // Per axis: the home window, plus a neighbor within halo reach.
+        int64_t w_opts[3][2];
+        int n_opts[3];
+        for (int axis = 0; axis < 3; ++axis) {
+          const int64_t home = v[axis] / tile;
+          const int64_t mod = v[axis] % tile;
+          n_opts[axis] = 0;
+          w_opts[axis][n_opts[axis]++] = home;
+          if (mod < halo && home > 0) w_opts[axis][n_opts[axis]++] = home - 1;
+          if (mod >= tile - halo && home + 1 < tg)
+            w_opts[axis][n_opts[axis]++] = home + 1;
+        }
+        const int64_t home_tile =
+            ((v[0] / tile) * tg + v[1] / tile) * tg + v[2] / tile;
+        occ[home_tile] = 1;
+        for (int ia = 0; ia < n_opts[0]; ++ia)
+          for (int ib = 0; ib < n_opts[1]; ++ib)
+            for (int ic = 0; ic < n_opts[2]; ++ic) {
+              const int64_t wa = w_opts[0][ia], wb = w_opts[1][ib],
+                            wc = w_opts[2][ic];
+              const int64_t la = v[0] - (wa * tile - halo);
+              const int64_t lb = v[1] - (wb * tile - halo);
+              const int64_t lc = v[2] - (wc * tile - halo);
+              r[((wa * tg + wb) * tg + wc) * s3 + (la * s + lb) * s + lc] =
+                  c[i];
+            }
       }
-      const int64_t home_tile =
-          ((v[0] / tile) * tg + v[1] / tile) * tg + v[2] / tile;
-      occ[home_tile] = 1;
-      for (int ia = 0; ia < n_opts[0]; ++ia)
-        for (int ib = 0; ib < n_opts[1]; ++ib)
-          for (int ic = 0; ic < n_opts[2]; ++ic) {
-            const int64_t wa = w_opts[0][ia], wb = w_opts[1][ib],
-                          wc = w_opts[2][ic];
-            const int64_t la = v[0] - (wa * tile - halo);
-            const int64_t lb = v[1] - (wb * tile - halo);
-            const int64_t lc = v[2] - (wc * tile - halo);
-            r[((wa * tg + wb) * tg + wc) * s3 + (la * s + lb) * s + lc] = c[i];
-          }
+    }
+  });
+}
+
+// Compacted windowed transfer: window rows for ONLY the first `budget`
+// active tiles (ascending flattened tile id, matching the device's
+// jnp.nonzero(size=budget) order — over-budget tiles are dropped highest-
+// id-first, same truncation rule as the on-device take). Outputs:
+//   rows    (budget, s^3) u32 — zeroed, active windows written
+//   row_ids (budget,) i32     — flattened tile ids, padded with batch*tg^3
+// Returns the total active-tile count (callers warn when it exceeds
+// budget). vs tricolo_packed_to_windowed this writes budget/tg^3-fold less
+// memory (~5-10x at solid-shape occupancy) and the device consumes the
+// rows directly — no on-device nonzero/take, and H2D ships only active
+// windows.
+int64_t tricolo_packed_to_windowed_compact(
+    const uint32_t* flat, const uint32_t* rgb, int64_t batch,
+    int64_t n_points, int64_t d, int64_t tile, int64_t halo, int64_t budget,
+    uint32_t* rows, int32_t* row_ids) {
+  const int64_t tg = d / tile;
+  const int64_t s = tile + 2 * halo;
+  const int64_t s3 = s * s * s;
+  const int64_t tiles_per_sample = tg * tg * tg;
+  const int64_t n_tiles = batch * tiles_per_sample;
+  // Pass 1 (sample-parallel): per-tile center occupancy.
+  std::vector<uint8_t> occ(static_cast<size_t>(n_tiles), 0);
+  uint8_t* occ_p = occ.data();
+  parallel_batches(batch, [=](int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; ++b) {
+      const uint32_t* f = flat + b * n_points;
+      uint8_t* o = occ_p + b * tiles_per_sample;
+      for (int64_t i = 0; i < n_points; ++i) {
+        const uint32_t word = f[i];
+        if (word == 0xFFFFFFFFu) break;
+        const int64_t x = (word >> 16) & 0xFF;
+        const int64_t y = (word >> 8) & 0xFF;
+        const int64_t z = word & 0xFF;
+        if (x >= d || y >= d || z >= d) continue;
+        o[((x / tile) * tg + y / tile) * tg + z / tile] = 1;
+      }
+    }
+  });
+  // Slot assignment: ascending tile id → row slot, first `budget` winners.
+  std::vector<int32_t> slot(static_cast<size_t>(n_tiles), -1);
+  int64_t total = 0;
+  for (int64_t t = 0; t < n_tiles; ++t) {
+    if (occ[static_cast<size_t>(t)]) {
+      if (total < budget) {
+        slot[static_cast<size_t>(t)] = static_cast<int32_t>(total);
+        row_ids[total] = static_cast<int32_t>(t);
+      }
+      ++total;
     }
   }
+  for (int64_t k = std::min(total, budget); k < budget; ++k) {
+    row_ids[k] = static_cast<int32_t>(n_tiles);  // "no tile" sentinel
+  }
+  std::memset(rows, 0, static_cast<size_t>(budget) * s3 * sizeof(uint32_t));
+  // Pass 2 (sample-parallel): scatter each site into its home window and
+  // the halo bands of active neighbor windows. All of a sample's target
+  // rows belong to that sample's tiles, so the split is race-free.
+  const int32_t* slot_p = slot.data();
+  parallel_batches(batch, [=](int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; ++b) {
+      const uint32_t* f = flat + b * n_points;
+      const uint32_t* c = rgb + b * n_points;
+      const int32_t* sl = slot_p + b * tiles_per_sample;
+      for (int64_t i = 0; i < n_points; ++i) {
+        const uint32_t word = f[i];
+        if (word == 0xFFFFFFFFu) break;
+        const int64_t v[3] = {(word >> 16) & 0xFF, (word >> 8) & 0xFF,
+                              word & 0xFF};
+        if (v[0] >= d || v[1] >= d || v[2] >= d) continue;
+        int64_t w_opts[3][2];
+        int n_opts[3];
+        for (int axis = 0; axis < 3; ++axis) {
+          const int64_t home = v[axis] / tile;
+          const int64_t mod = v[axis] % tile;
+          n_opts[axis] = 0;
+          w_opts[axis][n_opts[axis]++] = home;
+          if (mod < halo && home > 0) w_opts[axis][n_opts[axis]++] = home - 1;
+          if (mod >= tile - halo && home + 1 < tg)
+            w_opts[axis][n_opts[axis]++] = home + 1;
+        }
+        for (int ia = 0; ia < n_opts[0]; ++ia)
+          for (int ib = 0; ib < n_opts[1]; ++ib)
+            for (int ic = 0; ic < n_opts[2]; ++ic) {
+              const int64_t wa = w_opts[0][ia], wb = w_opts[1][ib],
+                            wc = w_opts[2][ic];
+              const int32_t row = sl[(wa * tg + wb) * tg + wc];
+              if (row < 0) continue;  // inactive or over-budget tile
+              const int64_t la = v[0] - (wa * tile - halo);
+              const int64_t lb = v[1] - (wb * tile - halo);
+              const int64_t lc = v[2] - (wc * tile - halo);
+              rows[static_cast<int64_t>(row) * s3 + (la * s + lb) * s + lc] =
+                  c[i];
+            }
+      }
+    }
+  });
+  return total;
 }
 
 // Dense (4, D, D, D) u8 RGBA C-order grid -> packed words. Returns the

@@ -163,6 +163,7 @@ def test_biv_train_steps_match_torch():
             "model.voxel_encoder=VoxelCNNEncoder",
             f"model.out_dim={OUT}",
             f"model.modules.VoxelCNNEncoder.ef_dim={EF}",
+            "model.modules.VoxelCNNEncoder.masked_bn=false",  # the oracle pins the dense path
             f"model.modules.VoxelCNNEncoder.z_dim={Z}",
             f"model.modules.MVCNNEncoder.z_dim={Z}",
             f"data.vocab_size={VOCAB}",
@@ -250,6 +251,7 @@ def test_tri_train_steps_match_torch():
             "model.image_encoder=MVCNNEncoder",
             f"model.out_dim={OUT}",
             f"model.modules.VoxelCNNEncoder.ef_dim={EF}",
+            "model.modules.VoxelCNNEncoder.masked_bn=false",  # the oracle pins the dense path
             f"model.modules.VoxelCNNEncoder.z_dim={Z}",
             f"model.modules.MVCNNEncoder.z_dim={Z}",
             f"data.vocab_size={VOCAB}",

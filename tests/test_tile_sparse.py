@@ -237,6 +237,124 @@ class TestWindowedTransfer:
                 jnp.asarray(windows), jnp.asarray(occ),
             )
 
+    def test_compact_matches_full_windowed(self):
+        """voxel_transfer=windowed_compact: host-compacted rows must equal
+        the on-device take of the full windows (features and grads)."""
+        from tricolo_tpu.data.device_prep import (
+            windowed_compact_on_host,
+            windowed_on_host,
+        )
+
+        rng = np.random.default_rng(11)
+        B, D = 2, 32
+        flat, rgb = self._packed_batch(rng, B=B, D=D)
+        windows, occ = windowed_on_host(flat, rgb, D)
+        tg3 = (D // 8) ** 3
+        budget = B * tg3  # frac 1.0, matching the encoder's derived budget
+        rows, row_ids, total = windowed_compact_on_host(flat, rgb, D, budget)
+        assert total == int((occ > 0).sum())
+        # compacted rows ARE the active full-window rows, ascending
+        (ids_np,) = np.nonzero(occ)
+        np.testing.assert_array_equal(row_ids[:total], ids_np)
+        np.testing.assert_array_equal(rows[:total], windows[ids_np])
+        assert (rows[total:] == 0).all() and (row_ids[total:] == B * tg3).all()
+
+        enc = VoxelCNNEncoder(
+            voxel_size=D, ef_dim=8, z_dim=32, out_dim=16,
+            masked_bn=True, tile_budget_frac=1.0, windowed_batch=B,
+        )
+        variables = enc.init(
+            jax.random.PRNGKey(0), None, True, True,
+            jnp.asarray(windows), jnp.asarray(occ),
+        )
+
+        def run(*args):
+            out, mut = enc.apply(variables, *args, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+
+        out_w, stats_w = run(None, True, True, jnp.asarray(windows), jnp.asarray(occ))
+        out_c, stats_c = run(
+            None, True, True, jnp.asarray(rows), None, jnp.asarray(row_ids)
+        )
+        np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_w), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(stats_w), jax.tree.leaves(stats_c)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+        def loss(v, *args):
+            out, _ = enc.apply(v, *args, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        gw = jax.grad(
+            lambda v: loss(v, None, True, True, jnp.asarray(windows), jnp.asarray(occ))
+        )(variables)
+        gc = jax.grad(
+            lambda v: loss(v, None, True, True, jnp.asarray(rows), None, jnp.asarray(row_ids))
+        )(variables)
+        for a, b in zip(jax.tree.leaves(gw), jax.tree.leaves(gc)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+            )
+
+    def test_compact_fallback_matches_native(self):
+        """The numpy fallback and the C++ compact windowing agree bit-for-
+        bit (including over-budget truncation)."""
+        from tricolo_tpu import native
+        from tricolo_tpu.data import device_prep
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(12)
+        flat, rgb = self._packed_batch(rng, D=32)
+        for budget in (256, 16):  # 16 forces truncation
+            got = native.packed_to_windowed_compact(flat, rgb, 32, budget)
+            import unittest.mock as mock
+
+            with mock.patch.object(native, "available", lambda: False):
+                want = device_prep.windowed_compact_on_host(flat, rgb, 32, budget)
+            assert got[2] == want[2]
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1])
+
+    def test_loader_windowed_compact_mode(self):
+        """DataModule with voxel_transfer=windowed_compact produces the
+        compacted keys and the model consumes them end to end."""
+        from tricolo_tpu.config import load_config
+        from tricolo_tpu.data import DataModule
+
+        cfg = load_config(
+            [
+                "data=synthetic",
+                "data.voxel_transfer=windowed_compact",
+                "model.voxel_encoder=VoxelCNNEncoder",
+                "model.modules.VoxelCNNEncoder.masked_bn=true",
+            ]
+        )
+        dm = DataModule(cfg)
+        dm.setup("fit")
+        batch = next(iter(dm.train_loader()))
+        D = cfg.data.voxel_size
+        tg3 = (D // 8) ** 3
+        frac = float(cfg.model.modules.VoxelCNNEncoder.tile_budget_frac)
+        budget = min(
+            -(-int(frac * cfg.data.batch_size * tg3) // 256) * 256,
+            cfg.data.batch_size * tg3,
+        )
+        assert batch["voxel_rows"].shape == (budget, 1000)
+        assert batch["voxel_row_ids"].shape == (budget,)
+        assert "voxel_flat" not in batch and "voxel_windows" not in batch
+
+        from tricolo_tpu.models.tricolo_net import TriCoLoNet
+        from tricolo_tpu.data.device_prep import prepare_device_batch
+
+        model = TriCoLoNet.from_config(cfg)
+        dev = prepare_device_batch(
+            {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)},
+            D,
+        )
+        variables = model.init(jax.random.PRNGKey(0), dev)
+        out = model.apply(variables, dev)
+        assert out["voxel_features"].shape == (cfg.data.batch_size, 512)
+
     def test_loader_windowed_mode(self):
         """DataModule with voxel_transfer=windowed produces the windowed
         keys and a train step runs end to end."""

@@ -115,10 +115,16 @@ def default_config() -> ConfigNode:
                         # conv-epilogue fusions).
                         "fused_bn_pool": "auto",
                         # Submanifold-faithful BN (spconv semantics):
-                        # statistics over occupied sites, inactive zeroed.
-                        # Off by default — see PARITY.md for the measured
-                        # delta behind the choice.
-                        "masked_bn": False,
+                        # statistics over occupied sites only, inactive
+                        # sites zeroed through the stack. DEFAULT ON since
+                        # round 3: it is the reference's actual semantics
+                        # (sparse_cnn.py:11-40) and decisively better on
+                        # the structured retrieval benchmark (RR@1
+                        # 97.9±0.3 vs 67.7±17.9 dense over 3 seeds —
+                        # PARITY.md), at +4% voxel-encoder cost via the
+                        # hybrid masked backward. false selects all-site
+                        # statistics (the torch-oracle-pinned path).
+                        "masked_bn": True,
                         # Tile-sparse compute for the first N blocks —
                         # EXACT under masked_bn (submanifold zeros
                         # everything outside active 8³ tiles); requires
@@ -221,7 +227,12 @@ def data_preset(name: str) -> ConfigNode:
             # Voxel host→device format: "packed" ships sparse u32 pairs and
             # scatters on device (~6.6 ms/step at 64³ on v5e, 16× fewer H2D
             # bytes); "dense" densifies in the prefetch thread and ships the
-            # u32 grid (scatter cost vanishes; H2D overlaps with compute).
+            # u32 grid (scatter cost vanishes; H2D overlaps with compute);
+            # "windowed"/"windowed_compact" materialize halo'd 10³ tile
+            # windows for the tile-sparse masked voxel encoder (requires
+            # masked_bn) — compact ships only the active rows (budget =
+            # VoxelCNNEncoder.tile_budget_frac) and is the fastest
+            # deployment path (PERF.md round 3).
             "voxel_transfer": "packed",
         }
     )

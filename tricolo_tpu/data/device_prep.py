@@ -229,6 +229,42 @@ def windowed_on_host(
     return rows.reshape(batch * tg3, s3), occ
 
 
+def windowed_compact_on_host(
+    flat_u32: "np.ndarray",
+    rgb_u32: "np.ndarray",
+    voxel_size: int,
+    budget: int,
+    tile: int = 8,
+    halo: int = 1,
+):
+    """Compacted windowed transfer: rows for ONLY the active tiles.
+
+    Returns (rows (budget, s³) u32, row_ids (budget,) i32, total active
+    tiles). Rows cover the first ``budget`` active tiles in ascending
+    flattened-tile-id order — the same nonzero(size=budget) truncation rule
+    the device applies to full windows — with zero rows / B·tg³-sentinel
+    ids as padding. vs ``windowed_on_host`` this writes and ships only the
+    active ~10-25% of rows, and the encoder consumes them directly with no
+    on-device row take (voxel_transfer=windowed_compact).
+    """
+    from .. import native
+
+    if native.available():
+        return native.packed_to_windowed_compact(
+            flat_u32, rgb_u32, voxel_size, budget, tile, halo
+        )
+    rows_full, occ = windowed_on_host(flat_u32, rgb_u32, voxel_size, tile, halo)
+    n_tiles = rows_full.shape[0]
+    (ids,) = np.nonzero(occ)
+    total = len(ids)
+    ids = ids[:budget]
+    rows = np.zeros((budget, rows_full.shape[1]), np.uint32)
+    rows[: len(ids)] = rows_full[ids]
+    row_ids = np.full(budget, n_tiles, np.int32)
+    row_ids[: len(ids)] = ids
+    return rows, row_ids, total
+
+
 def prepare_device_batch(
     batch: dict, voxel_size: int, dtype=jnp.float32, voxel_mask: bool = False
 ) -> dict:
@@ -248,6 +284,11 @@ def prepare_device_batch(
         # encoder unpacks AFTER taking the active rows (~19% of the data).
         out["voxel_windows"] = batch["voxel_windows"]
         out["voxel_tile_occ"] = batch["voxel_tile_occ"]
+    elif "voxel_rows" in batch:
+        # Compacted windowed transfer: host-compacted active rows + their
+        # tile ids — consumed by the encoder as-is (no on-device row take).
+        out["voxel_rows"] = batch["voxel_rows"]
+        out["voxel_row_ids"] = batch["voxel_row_ids"]
     elif "voxel_grid" in batch:
         out["voxels"] = unpack_dense_voxels(batch["voxel_grid"], dtype, voxel_mask)
     elif "voxel_flat" in batch:

@@ -33,6 +33,7 @@ def collate(
     voxel_size: int = 64,
     with_images: bool = True,
     with_voxels: bool = True,
+    tile_budget_frac: float = 0.5,
 ) -> dict[str, Any]:
     """Stack items into one fixed-shape numpy batch.
 
@@ -48,8 +49,18 @@ def collate(
     but the per-step device scatter (~6.6 ms on v5e) disappears and the
     transfer overlaps with compute. Pick "packed" when host→device
     bandwidth is the constraint, "dense" when device step time is.
+    "windowed"/"windowed_compact" feed the tile-sparse masked voxel
+    encoder with host-materialized halo'd 10³ windows; the compact variant
+    ships only the active ~10-25% of rows (budget =
+    tile_budget_frac·B·(D/8)³ rows, /256, matching the encoder's
+    tile_budget_frac — keep the two configs equal).
     """
-    from .device_prep import VOXEL_PAD_SENTINEL, densify_on_host, windowed_on_host
+    from .device_prep import (
+        VOXEL_PAD_SENTINEL,
+        densify_on_host,
+        windowed_compact_on_host,
+        windowed_on_host,
+    )
 
     batch: dict[str, Any] = {
         "model_id": [item["model_id"] for item in items],
@@ -81,6 +92,24 @@ def collate(
             windows, occ = windowed_on_host(flat, rgb, voxel_size)
             batch["voxel_windows"] = windows
             batch["voxel_tile_occ"] = occ
+        elif voxel_transfer == "windowed_compact":
+            tg3 = (voxel_size // 8) ** 3
+            budget = -(-int(tile_budget_frac * batch_size * tg3) // 256) * 256
+            budget = min(budget, batch_size * tg3)
+            rows, row_ids, total = windowed_compact_on_host(
+                flat, rgb, voxel_size, budget
+            )
+            if total > budget:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "windowed_compact: %d active tiles exceed the budget %d "
+                    "(tile_budget_frac=%.3g) — highest-index tiles dropped; "
+                    "raise model.modules.VoxelCNNEncoder.tile_budget_frac",
+                    total, budget, tile_budget_frac,
+                )
+            batch["voxel_rows"] = rows
+            batch["voxel_row_ids"] = row_ids
         else:
             batch["voxel_flat"] = flat
             batch["voxel_rgb"] = rgb
@@ -105,6 +134,7 @@ class BatchIterator:
         voxel_size: int = 64,
         with_images: bool = True,
         with_voxels: bool = True,
+        tile_budget_frac: float = 0.5,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -116,6 +146,7 @@ class BatchIterator:
         self.voxel_size = voxel_size
         self.with_images = with_images
         self.with_voxels = with_voxels
+        self.tile_budget_frac = tile_budget_frac
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -154,6 +185,7 @@ class BatchIterator:
                 self.voxel_size,
                 self.with_images,
                 self.with_voxels,
+                self.tile_budget_frac,
             )
             batch["num_valid"] = valid
             yield batch
@@ -235,6 +267,11 @@ class DataModule:
             # consumes precached embeddings); voxels only their encoder.
             with_images=model.image_encoder == "MVCNNEncoder",
             with_voxels=model.voxel_encoder is not None,
+            # windowed_compact sizes its row budget with the SAME formula
+            # as the encoder — keep the two in lockstep via the config key.
+            tile_budget_frac=float(
+                model.modules.VoxelCNNEncoder.get("tile_budget_frac", 0.5)
+            ),
         )
 
     def train_loader(self) -> BatchIterator:

@@ -172,6 +172,9 @@ class TriCoLoNet(nn.Module):
                 tile_sparse=self.voxel_tile_sparse,
                 tile_sparse_blocks=self.voxel_tile_sparse_blocks,
                 tile_budget_frac=self.voxel_tile_budget_frac,
+                # compact windowed rows carry no batch axis; B is static
+                # from the token batch
+                windowed_batch=batch["tokens"].shape[0],
                 name="voxel_encoder",
             )
             if "voxel_windows" in batch:
@@ -179,6 +182,13 @@ class TriCoLoNet(nn.Module):
                 output["voxel_features"] = enc(
                     None, train, deterministic,
                     batch["voxel_windows"], batch["voxel_tile_occ"],
+                )
+            elif "voxel_rows" in batch:
+                # data.voxel_transfer=windowed_compact: host-compacted
+                # active rows + their tile ids
+                output["voxel_features"] = enc(
+                    None, train, deterministic,
+                    batch["voxel_rows"], None, batch["voxel_row_ids"],
                 )
             else:
                 output["voxel_features"] = enc(batch["voxels"], train, deterministic)

@@ -218,8 +218,9 @@ class VoxelCNNEncoder(nn.Module):
     fused_bn_pool: bool | None = None
     # Submanifold-faithful BN: statistics over occupied sites only and
     # inactive sites zeroed through the stack (spconv semantics, reference
-    # sparse_cnn.py:11-40). Default off — PARITY.md records the measured
-    # training-dynamics delta behind this choice.
+    # sparse_cnn.py:11-40). The class default stays False (the torch-oracle
+    # parity path); the CONFIG default is True since round 3 — PARITY.md
+    # records the structured-retrieval experiment behind that choice.
     masked_bn: bool = False
     # Tile-sparse compute (ops/tile_sparse.py): restrict the first
     # ``tile_sparse_blocks`` blocks to active 8³ tiles — EXACT under the
@@ -231,6 +232,10 @@ class VoxelCNNEncoder(nn.Module):
     tile_sparse: bool = False
     tile_sparse_blocks: int = 2
     tile_budget_frac: float = 0.5
+    # Batch size for the COMPACT windowed input (voxel_transfer=
+    # windowed_compact): the compacted rows carry no per-sample axis, so
+    # the caller (TriCoLoNet) pins B here — it is static anyway.
+    windowed_batch: int | None = None
 
     @nn.compact
     def __call__(
@@ -240,6 +245,7 @@ class VoxelCNNEncoder(nn.Module):
         deterministic: bool = True,
         windows: jax.Array | None = None,
         tile_occ: jax.Array | None = None,
+        row_ids: jax.Array | None = None,
     ) -> jax.Array:
         # train/deterministic accept positional passing so nn.remat can mark
         # them static (static_argnums=(2, 3) — the 128³ memory plan wraps
@@ -248,7 +254,11 @@ class VoxelCNNEncoder(nn.Module):
             # voxel_transfer=windowed: host-materialized halo'd tile rows
             # (R, s³) u32 + per-tile occupancy; block 1 runs tile-sparse
             # directly off the rows, no dense input grid exists at all.
-            return self._windowed_forward(windows, tile_occ, train, deterministic)
+            # With ``row_ids`` (voxel_transfer=windowed_compact) the rows
+            # are already compacted to the active tiles.
+            return self._windowed_forward(
+                windows, tile_occ, train, deterministic, row_ids
+            )
         if voxels.shape[1] != self.voxel_size:
             raise ValueError(
                 f"expected {self.voxel_size}^3 grids, got {voxels.shape[1:4]}"
@@ -336,35 +346,49 @@ class VoxelCNNEncoder(nn.Module):
         )
         return l2_normalize(x.astype(jnp.float32))
 
-    def _windowed_forward(self, windows, tile_occ, train, deterministic):
+    def _windowed_forward(self, windows, tile_occ, train, deterministic, row_ids=None):
         """Block 1 tile-sparse from host-windowed rows; blocks 2+ dense.
 
-        ``windows``: (B·tg³, s³) u32 packed rows (s = 10), ``tile_occ``:
-        (B·tg³,) occupancy — both from data.voxel_transfer=windowed
-        (device_prep.windowed_on_host). Same variable tree as the dense
-        path (ConvBlock_0..4 + MLPHead_0 in order), so checkpoints
+        Full mode (voxel_transfer=windowed): ``windows`` (B·tg³, s³) u32
+        packed rows (s = 10) + ``tile_occ`` (B·tg³,) occupancy — the active
+        rows are taken on device. Compact mode (windowed_compact):
+        ``windows`` (budget, s³) already holds ONLY the active rows,
+        ``row_ids`` (budget,) their flattened tile ids (B·tg³-sentinel
+        padding), and ``windowed_batch`` pins B. Same variable tree as the
+        dense path (ConvBlock_0..4 + MLPHead_0 in order), so checkpoints
         interchange. Runs inside the parent's nn.compact scope.
         """
-        if not (self.masked_bn and self.tile_sparse):
-            raise ValueError(
-                "windowed voxel input requires masked_bn=true + tile_sparse=true"
-            )
+        if not self.masked_bn:
+            # Windowed rows are inherently tile-sparse input; only the
+            # masked (submanifold) semantics makes that restriction exact.
+            raise ValueError("windowed voxel input requires masked_bn=true")
         from ..data.device_prep import unpack_dense_voxels
         from ..ops.tile_sparse import scatter_tiles
 
         tile0, halo = 8, 1
         s = tile0 + 2 * halo
         tg3 = (self.voxel_size // tile0) ** 3
-        n_rows = windows.shape[0]
-        batch = n_rows // tg3
         compute_dtype = self.dtype or jnp.float32
-        budget = -(-int(self.tile_budget_frac * batch * tg3) // 256) * 256
-        budget = min(budget, batch * tg3)
+        if row_ids is not None:
+            if self.windowed_batch is None:
+                raise ValueError(
+                    "compact windowed input requires windowed_batch (the "
+                    "rows carry no per-sample axis to infer it from)"
+                )
+            batch = self.windowed_batch
+            n_rows = batch * tg3
+            ids = row_ids
+            rows = windows  # host-compacted: padding rows are already zero
+        else:
+            n_rows = windows.shape[0]
+            batch = n_rows // tg3
+            budget = -(-int(self.tile_budget_frac * batch * tg3) // 256) * 256
+            budget = min(budget, batch * tg3)
 
-        (ids,) = jnp.nonzero(tile_occ > 0, size=budget, fill_value=n_rows)
-        ids = ids.astype(jnp.int32)
-        valid = ids < n_rows
-        rows = jnp.where(valid[:, None], windows[jnp.where(valid, ids, 0)], 0)
+            (ids,) = jnp.nonzero(tile_occ > 0, size=budget, fill_value=n_rows)
+            ids = ids.astype(jnp.int32)
+            valid = ids < n_rows
+            rows = jnp.where(valid[:, None], windows[jnp.where(valid, ids, 0)], 0)
         unpacked = unpack_dense_voxels(
             rows.reshape(-1, s, s, s), compute_dtype, with_mask=True
         )
