@@ -10,11 +10,21 @@ bf16, PERF.md round 3):
   * scatter pooled tiles back to dense — NDHWC row-scatter 112 ms,
     tiled-layout set-scatter + transpose 10 ms.
 
-Both are pure data movement (~100-300 MB) that the DMA engines can do at
-bandwidth, independent of vector-lane layout. These kernels issue one
+Both are pure data movement (~100-300 MB) that the DMA engines could do
+at bandwidth, independent of vector-lane layout. These kernels issue one
 strided HBM→HBM copy per tile from scalar-prefetched offsets
 (PrefetchScalarGridSpec), G tiles per grid step with a G-deep in-flight
 window.
+
+STATUS (round 3, measured): **not compilable on real v5e.** Mosaic
+requires HBM ``memref_slice`` shapes/offsets aligned to the (8,128)
+packed tiling on the two minor dims; a t³ tile slice at an arbitrary
+spatial offset violates it ("Slice shape along dimension 3 must be
+aligned to tiling (8), but is 10"). Kept as interpret-mode kernels
+(tests exercise the semantics) pending Mosaic support for unaligned HBM
+slicing; the production tile movers are the host windowing path
+(data/device_prep windowed/_compact) and ops/tile_sparse's XLA
+formulations.
 
 Padding ids are routed to an all-zero extra sample appended to the source
 (gather) / a discarded extra sample (scatter), so no masking pass is
