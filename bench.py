@@ -133,6 +133,14 @@ def main():
 
     from tricolo_tpu.data.device_prep import densify_on_host
 
+    # windowed halo follows the encoder's sparse depth (loader.DataModule
+    # applies the same rule): ≥2 sparse blocks need 14³ rows (halo 3).
+    halo = (
+        3
+        if int(cfg.model.modules.VoxelCNNEncoder.get("tile_sparse_blocks", 2)) >= 2
+        else 1
+    )
+
     def to_transfer(host: dict) -> dict:
         host = dict(host)
         if cfg.data.voxel_transfer == "dense":
@@ -143,7 +151,8 @@ def main():
             from tricolo_tpu.data.device_prep import windowed_on_host
 
             windows, occ = windowed_on_host(
-                host.pop("voxel_flat"), host.pop("voxel_rgb"), cfg.data.voxel_size
+                host.pop("voxel_flat"), host.pop("voxel_rgb"),
+                cfg.data.voxel_size, halo=halo,
             )
             host["voxel_windows"] = windows
             host["voxel_tile_occ"] = occ
@@ -156,7 +165,7 @@ def main():
             budget = min(budget, cfg.data.batch_size * tg3)
             rows, row_ids, _ = windowed_compact_on_host(
                 host.pop("voxel_flat"), host.pop("voxel_rgb"),
-                cfg.data.voxel_size, budget,
+                cfg.data.voxel_size, budget, halo=halo,
             )
             host["voxel_rows"] = rows
             host["voxel_row_ids"] = row_ids

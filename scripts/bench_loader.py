@@ -141,6 +141,12 @@ def main():
     budget = -(-int(worst * 1.25) // 256) * 256
     frac = min(1.0, budget / (args.batch_size * tg3))
     cfg.model.modules.VoxelCNNEncoder.tile_budget_frac = frac
+    # Same halo rule as DataModule: ≥2 tile-sparse blocks → 14³ rows.
+    halo = (
+        3
+        if int(cfg.model.modules.VoxelCNNEncoder.get("tile_sparse_blocks", 2)) >= 2
+        else 1
+    )
 
     def make_iter():
         return BatchIterator(
@@ -152,6 +158,7 @@ def main():
             voxel_transfer=args.voxel_transfer,
             voxel_size=cfg.data.voxel_size,
             tile_budget_frac=frac,
+            windowed_halo=halo,
         )
 
     if args.mode == "host":

@@ -338,3 +338,69 @@ class TestMaskedHybrid:
             rtol=1e-4, atol=1e-5,
         )
         assert float(dscale_got[0]) == 0.0
+
+
+class TestMaskedHybrid2:
+    """Two-mask variant (windowed halo-3 block 1): statistics over
+    ``stats_mask``, zeroing over ``zero_mask`` ⊇ stats_mask. The hybrid
+    backward must match autodiff of the plain composition."""
+
+    def _data(self, seed=0, B=2, D=8, C=6):
+        rng = np.random.default_rng(seed)
+        y = jnp.asarray(rng.standard_normal((B, D, D, D, C)).astype(np.float32))
+        zero = (rng.random((B, D, D, D, 1)) < 0.4).astype(np.float32)
+        stats = zero * (rng.random((B, D, D, D, 1)) < 0.6)
+        scale = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        return y, scale, bias, jnp.asarray(stats), jnp.asarray(zero)
+
+    def test_forward_matches_composed(self):
+        from tricolo_tpu.ops.fused_bn_pool import (
+            masked_bn_relu_pool2,
+            masked_hybrid_bn_relu_pool2,
+        )
+
+        y, scale, bias, ms, mz = self._data()
+        ref = masked_bn_relu_pool2(y, scale, bias, ms, mz)
+        got = masked_hybrid_bn_relu_pool2(y, scale, bias, ms, mz)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_equal_masks_match_single_mask_op(self):
+        from tricolo_tpu.ops.fused_bn_pool import (
+            masked_hybrid_bn_relu_pool,
+            masked_hybrid_bn_relu_pool2,
+        )
+
+        y, scale, bias, ms, _ = self._data(seed=3)
+        ref = masked_hybrid_bn_relu_pool(y, scale, bias, ms)
+        got = masked_hybrid_bn_relu_pool2(y, scale, bias, ms, ms)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_grads_match_composed(self):
+        from tricolo_tpu.ops.fused_bn_pool import (
+            masked_bn_relu_pool2,
+            masked_hybrid_bn_relu_pool2,
+        )
+
+        y, scale, bias, ms, mz = self._data(seed=1)
+
+        def loss(op, y, s, b):
+            pooled, mean, var, pm = op(y, s, b, ms, mz)
+            w = jnp.arange(pooled.size, dtype=jnp.float32).reshape(pooled.shape)
+            return jnp.sum(pooled * w) + jnp.sum(mean * 0.7) + jnp.sum(var * 1.3)
+
+        ref = jax.grad(
+            lambda *a: loss(masked_bn_relu_pool2, *a), argnums=(0, 1, 2)
+        )(y, scale, bias)
+        got = jax.grad(
+            lambda *a: loss(masked_hybrid_bn_relu_pool2, *a), argnums=(0, 1, 2)
+        )(y, scale, bias)
+        for a, b in zip(got, ref):
+            # pooled- vs full-resolution dγ/dβ reductions accumulate in a
+            # different order; the index-weighted loss amplifies the f32
+            # rounding (worst observed: 3e-5 abs on values ~80)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            )

@@ -169,7 +169,8 @@ class TestWindowedTransfer:
             flat[b], rgb[b] = pack_sparse_voxels(coords, feats, n_pad)
         return flat, rgb
 
-    def test_windowed_matches_dense_masked(self):
+    @pytest.mark.parametrize("halo", [1, 3])
+    def test_windowed_matches_dense_masked(self, halo):
         from tricolo_tpu.data.device_prep import (
             densify_on_host,
             unpack_dense_voxels,
@@ -179,7 +180,7 @@ class TestWindowedTransfer:
         rng = np.random.default_rng(7)
         D = 32
         flat, rgb = self._packed_batch(rng, D=D)
-        windows, occ = windowed_on_host(flat, rgb, D)
+        windows, occ = windowed_on_host(flat, rgb, D, halo=halo)
         dense = unpack_dense_voxels(
             jnp.asarray(densify_on_host(flat, rgb, D)), jnp.float32, True
         )
@@ -237,7 +238,8 @@ class TestWindowedTransfer:
                 jnp.asarray(windows), jnp.asarray(occ),
             )
 
-    def test_compact_matches_full_windowed(self):
+    @pytest.mark.parametrize("halo", [1, 3])
+    def test_compact_matches_full_windowed(self, halo):
         """voxel_transfer=windowed_compact: host-compacted rows must equal
         the on-device take of the full windows (features and grads)."""
         from tricolo_tpu.data.device_prep import (
@@ -248,10 +250,12 @@ class TestWindowedTransfer:
         rng = np.random.default_rng(11)
         B, D = 2, 32
         flat, rgb = self._packed_batch(rng, B=B, D=D)
-        windows, occ = windowed_on_host(flat, rgb, D)
+        windows, occ = windowed_on_host(flat, rgb, D, halo=halo)
         tg3 = (D // 8) ** 3
         budget = B * tg3  # frac 1.0, matching the encoder's derived budget
-        rows, row_ids, total = windowed_compact_on_host(flat, rgb, D, budget)
+        rows, row_ids, total = windowed_compact_on_host(
+            flat, rgb, D, budget, halo=halo
+        )
         assert total == int((occ > 0).sum())
         # compacted rows ARE the active full-window rows, ascending
         (ids_np,) = np.nonzero(occ)
@@ -305,12 +309,16 @@ class TestWindowedTransfer:
             pytest.skip("native library unavailable")
         rng = np.random.default_rng(12)
         flat, rgb = self._packed_batch(rng, D=32)
-        for budget in (256, 16):  # 16 forces truncation
-            got = native.packed_to_windowed_compact(flat, rgb, 32, budget)
+        for budget, halo in ((256, 1), (16, 1), (256, 3)):  # 16 forces truncation
+            got = native.packed_to_windowed_compact(
+                flat, rgb, 32, budget, halo=halo
+            )
             import unittest.mock as mock
 
             with mock.patch.object(native, "available", lambda: False):
-                want = device_prep.windowed_compact_on_host(flat, rgb, 32, budget)
+                want = device_prep.windowed_compact_on_host(
+                    flat, rgb, 32, budget, halo=halo
+                )
             assert got[2] == want[2]
             np.testing.assert_array_equal(got[0], want[0])
             np.testing.assert_array_equal(got[1], want[1])
@@ -339,7 +347,11 @@ class TestWindowedTransfer:
             -(-int(frac * cfg.data.batch_size * tg3) // 256) * 256,
             cfg.data.batch_size * tg3,
         )
-        assert batch["voxel_rows"].shape == (budget, 1000)
+        # DataModule derives the windowed halo from the encoder's sparse
+        # depth: ≥2 tile-sparse blocks → halo 3 (14³ rows), else halo 1.
+        blocks = int(cfg.model.modules.VoxelCNNEncoder.tile_sparse_blocks)
+        s = 8 + 2 * (3 if blocks >= 2 else 1)
+        assert batch["voxel_rows"].shape == (budget, s**3)
         assert batch["voxel_row_ids"].shape == (budget,)
         assert "voxel_flat" not in batch and "voxel_windows" not in batch
 
@@ -375,7 +387,9 @@ class TestWindowedTransfer:
         batch = next(iter(dm.train_loader()))
         D = cfg.data.voxel_size
         tg3 = (D // 8) ** 3
-        assert batch["voxel_windows"].shape == (cfg.data.batch_size * tg3, 1000)
+        blocks = int(cfg.model.modules.VoxelCNNEncoder.tile_sparse_blocks)
+        s = 8 + 2 * (3 if blocks >= 2 else 1)
+        assert batch["voxel_windows"].shape == (cfg.data.batch_size * tg3, s**3)
         assert batch["voxel_tile_occ"].shape == (cfg.data.batch_size * tg3,)
         assert "voxel_flat" not in batch
 

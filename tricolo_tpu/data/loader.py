@@ -34,6 +34,7 @@ def collate(
     with_images: bool = True,
     with_voxels: bool = True,
     tile_budget_frac: float = 0.5,
+    windowed_halo: int = 1,
 ) -> dict[str, Any]:
     """Stack items into one fixed-shape numpy batch.
 
@@ -85,11 +86,16 @@ def collate(
         if voxel_transfer == "dense":
             batch["voxel_grid"] = densify_on_host(flat, rgb, voxel_size)
         elif voxel_transfer == "windowed":
-            # Host materializes each 8³ tile's halo'd 10³ window (the
+            # Host materializes each 8³ tile's halo'd window (the
             # device-side halo gather has no fast formulation — PERF.md
             # round 3) + the per-tile occupancy map. Feeds the tile-sparse
-            # masked voxel encoder; ~2× the dense grid's H2D bytes.
-            windows, occ = windowed_on_host(flat, rgb, voxel_size)
+            # masked voxel encoder. halo 1 (10³ rows) runs block 1
+            # tile-sparse; halo 3 (14³ rows) ships each tile's full
+            # block-2 support so blocks 1-2 run tile-sparse with no
+            # inter-block gather.
+            windows, occ = windowed_on_host(
+                flat, rgb, voxel_size, halo=windowed_halo
+            )
             batch["voxel_windows"] = windows
             batch["voxel_tile_occ"] = occ
         elif voxel_transfer == "windowed_compact":
@@ -97,7 +103,7 @@ def collate(
             budget = -(-int(tile_budget_frac * batch_size * tg3) // 256) * 256
             budget = min(budget, batch_size * tg3)
             rows, row_ids, total = windowed_compact_on_host(
-                flat, rgb, voxel_size, budget
+                flat, rgb, voxel_size, budget, halo=windowed_halo
             )
             if total > budget:
                 import logging
@@ -135,6 +141,7 @@ class BatchIterator:
         with_images: bool = True,
         with_voxels: bool = True,
         tile_budget_frac: float = 0.5,
+        windowed_halo: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -147,6 +154,7 @@ class BatchIterator:
         self.with_images = with_images
         self.with_voxels = with_voxels
         self.tile_budget_frac = tile_budget_frac
+        self.windowed_halo = windowed_halo
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -186,6 +194,7 @@ class BatchIterator:
                 self.with_images,
                 self.with_voxels,
                 self.tile_budget_frac,
+                self.windowed_halo,
             )
             batch["num_valid"] = valid
             yield batch
@@ -272,6 +281,12 @@ class DataModule:
             tile_budget_frac=float(
                 model.modules.VoxelCNNEncoder.get("tile_budget_frac", 0.5)
             ),
+            # windowed halo follows the encoder's sparse depth: ≥2 blocks
+            # need each tile's full block-2 support (14³ rows, halo 3);
+            # the encoder derives its own depth from the row length.
+            windowed_halo=3
+            if int(model.modules.VoxelCNNEncoder.get("tile_sparse_blocks", 2)) >= 2
+            else 1,
         )
 
     def train_loader(self) -> BatchIterator:

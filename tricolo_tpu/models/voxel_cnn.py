@@ -91,6 +91,7 @@ class BNReLUPool(nn.Module):
         *,
         train: bool = False,
         mask: jax.Array | None = None,
+        stats_mask: jax.Array | None = None,
     ):
         features = x.shape[-1]
         scale = self.param(
@@ -107,6 +108,34 @@ class BNReLUPool(nn.Module):
         )
 
         out_mask = None
+        if stats_mask is not None:
+            # Two-mask submanifold mode (windowed halo≥3 blocks): reduce
+            # statistics over ``stats_mask`` (center occupancy — each
+            # active site exactly once across tiles), normalize/zero over
+            # ``mask`` (full-region occupancy incl. the halo ring). The
+            # returned mask is pool(stats_mask).
+            from ..ops.fused_bn_pool import (
+                masked_hybrid_bn_relu_pool2,
+                masked_inference_bn_relu_pool2,
+            )
+
+            if train:
+                pooled, mean, var, out_mask = masked_hybrid_bn_relu_pool2(
+                    x, scale, bias, stats_mask, mask, self.epsilon
+                )
+                if not self.is_initializing():
+                    ra_mean.value = (
+                        self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                    )
+                    ra_var.value = (
+                        self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                    )
+            else:
+                pooled, out_mask = masked_inference_bn_relu_pool2(
+                    x, scale, bias, ra_mean.value, ra_var.value,
+                    stats_mask, mask, self.epsilon,
+                )
+            return pooled, out_mask
         if train:
             if mask is not None:
                 # Submanifold-faithful mode: statistics over occupied sites
@@ -179,6 +208,7 @@ class ConvBlock(nn.Module):
         *,
         train: bool = False,
         mask: jax.Array | None = None,
+        stats_mask: jax.Array | None = None,
     ):
         x = nn.Conv(
             self.features,
@@ -201,7 +231,7 @@ class ConvBlock(nn.Module):
             param_dtype=self.param_dtype,
             use_fused=self.fused_bn_pool,
             name="BatchNorm_0",
-        )(x, train=train, mask=mask)
+        )(x, train=train, mask=mask, stats_mask=stats_mask)
 
 
 class VoxelCNNEncoder(nn.Module):
@@ -365,7 +395,22 @@ class VoxelCNNEncoder(nn.Module):
         from ..data.device_prep import unpack_dense_voxels
         from ..ops.tile_sparse import scatter_tiles
 
-        tile0, halo = 8, 1
+        tile0 = 8
+        # Halo is encoded in the row length: s³ with s = 8 + 2·halo.
+        # halo 1 → block 1 tile-sparse; halo 3 → blocks 1-2 tile-sparse
+        # (the host ships each tile's FULL block-2 input support, so
+        # block-1 output rows are block-2's windows — no inter-block
+        # gather exists; the halo ring recomputes neighbor values, exact
+        # under the two-mask BN below).
+        s3_in = windows.shape[-1] if windows.ndim == 2 else None
+        for halo in (1, 3):
+            if (tile0 + 2 * halo) ** 3 == s3_in:
+                break
+        else:
+            raise ValueError(
+                f"windowed rows have {s3_in} voxels; expected 10³ (halo 1) "
+                "or 14³ (halo 3)"
+            )
         s = tile0 + 2 * halo
         tg3 = (self.voxel_size // tile0) ** 3
         compute_dtype = self.dtype or jnp.float32
@@ -392,24 +437,59 @@ class VoxelCNNEncoder(nn.Module):
         unpacked = unpack_dense_voxels(
             rows.reshape(-1, s, s, s), compute_dtype, with_mask=True
         )
-        # RGB zero-padded to 4 channels (see padded_rgb_conv_kernel_init);
-        # the BN mask is the window's CENTER occupancy.
+        # RGB zero-padded to 4 channels (see padded_rgb_conv_kernel_init).
         x_t = jnp.pad(unpacked[..., :3], ((0, 0),) * 4 + ((0, 1),))
-        m_t = unpacked[:, halo:-halo, halo:-halo, halo:-halo, 3:]
+        m_full = unpacked[..., 3:]
 
         channels = (self.ef_dim, self.ef_dim * 2, self.ef_dim * 4, self.ef_dim * 8, self.z_dim)
-        x_t, m_t = ConvBlock(
-            channels[0],
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            fused_bn_pool=self.fused_bn_pool,
-            kernel_init=padded_rgb_conv_kernel_init,
-            valid_padding=True,
-        )(x_t, train=train, mask=m_t)
-        grid = self.voxel_size // 2
+        if halo == 1:
+            # Block 1 tile-sparse: conv VALID consumes the halo, output is
+            # the tile center; single mask = center occupancy.
+            m_t = m_full[:, 1:-1, 1:-1, 1:-1, :]
+            x_t, m_t = ConvBlock(
+                channels[0],
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                fused_bn_pool=self.fused_bn_pool,
+                kernel_init=padded_rgb_conv_kernel_init,
+                valid_padding=True,
+            )(x_t, train=train, mask=m_t)
+            n_dense_from = 1
+            grid = self.voxel_size // 2
+        else:
+            # Blocks 1-2 tile-sparse (halo 3): block-1 conv output covers
+            # 12³ (center 8³ + ring). Two-mask BN: statistics over the
+            # CENTER occupancy (each active site once across tiles),
+            # zeroing over the full-region occupancy so ring values equal
+            # what the owning tile computes for its own center.
+            mz1 = m_full[:, 1:-1, 1:-1, 1:-1, :]
+            ms1 = jnp.pad(
+                m_full[:, 3:-3, 3:-3, 3:-3, :],
+                ((0, 0), (2, 2), (2, 2), (2, 2), (0, 0)),
+            )
+            x_t, m_p = ConvBlock(
+                channels[0],
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                fused_bn_pool=self.fused_bn_pool,
+                kernel_init=padded_rgb_conv_kernel_init,
+                valid_padding=True,
+            )(x_t, train=train, mask=mz1, stats_mask=ms1)
+            # x_t (T,6³,32) = block-2's windows; pool(ms1) cropped by the
+            # valid conv is block-2's (single) center mask.
+            m2 = m_p[:, 1:-1, 1:-1, 1:-1, :]
+            x_t, m_t = ConvBlock(
+                channels[1],
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                fused_bn_pool=self.fused_bn_pool,
+                valid_padding=True,
+            )(x_t, train=train, mask=m2)
+            n_dense_from = 2
+            grid = self.voxel_size // 4
         x = scatter_tiles(x_t, ids, batch, grid)
         mask = scatter_tiles(m_t, ids, batch, grid)
-        for features in channels[1:]:
+        for features in channels[n_dense_from:]:
             x, mask = ConvBlock(
                 features,
                 dtype=self.dtype,

@@ -566,6 +566,103 @@ def _masked_hybrid_bwd(eps, residuals, cts):
 masked_hybrid_bn_relu_pool.defvjp(_masked_hybrid_fwd, _masked_hybrid_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def masked_hybrid_bn_relu_pool2(y, scale, bias, stats_mask, zero_mask, eps=1e-5):
+    """Two-mask masked BN → ReLU → zero → MaxPool(2³), hybrid backward.
+
+    The halo'd windowed voxel path (voxel_cnn._windowed_forward at halo 3)
+    computes each tile's conv output over a region LARGER than the tile:
+    the center 8³ plus a halo ring whose sites are other tiles' centers.
+    Statistics must count every active site exactly once — reduce over
+    ``stats_mask`` (center occupancy only) — while normalization/zeroing
+    applies to the whole region via ``zero_mask`` (full occupancy, halo
+    included), so the halo ring carries the same values the neighbor tile
+    computes for its own center. Contract otherwise matches
+    `masked_hybrid_bn_relu_pool`; returns (pooled, mean, var,
+    pool(stats_mask)) — the pooled CENTER mask, which cropped by the next
+    block's valid conv is exactly its (single) mask.
+
+    Backward: identical pooled-argmax trick (a live pooled cell's argmax
+    site is unmasked and relu-positive regardless of which mask zeroed the
+    rest); only the mean/var chain term is restricted to ``stats_mask``
+    sites with the stats count. Shares the γ == 0.0 dγ caveat.
+    """
+    out, _ = _masked_hybrid2_fwd(y, scale, bias, stats_mask, zero_mask, eps)
+    return out
+
+
+def _masked_hybrid2_fwd(y, scale, bias, stats_mask, zero_mask, eps):
+    _check_shapes(y, scale, bias)
+    mean, var, invstd, count = _masked_stats(y, stats_mask, eps)
+    mul, add = _muladd(mean, invstd, scale, bias, y.dtype)
+    a = jnp.maximum(y * mul + add, 0.0) * zero_mask.astype(y.dtype)
+    pooled, pooled_mask = _masked_pool(a, stats_mask)
+    residuals = (y, pooled, stats_mask, zero_mask, scale, bias, mean, invstd,
+                 count, mul, add)
+    return ((pooled, mean, var, pooled_mask), residuals)
+
+
+def _masked_hybrid2_bwd(eps, residuals, cts):
+    g_out, g_mean, g_var, _g_pmask = cts
+    (y, pooled, stats_mask, zero_mask, scale, bias, mean, invstd, count,
+     mul, add) = residuals
+
+    live = (pooled > 0).astype(jnp.float32)
+    g32 = g_out.astype(jnp.float32) * live
+    scale32 = scale.astype(jnp.float32)
+    safe = jnp.where(scale32 == 0.0, 1.0, scale32)
+    zmax = (pooled.astype(jnp.float32) - bias.astype(jnp.float32)) / safe
+    zmax = jnp.where(scale32 == 0.0, 0.0, zmax)
+    dbeta = jnp.sum(g32, axis=(0, 1, 2, 3))
+    dgamma = jnp.sum(g32 * zmax, axis=(0, 1, 2, 3))
+
+    A32 = scale32 * invstd
+    B32 = -A32 * dbeta / count + g_mean / count
+    C32 = -A32 * dgamma / count + 2.0 * g_var / (count * invstd)
+
+    a = jnp.maximum(y * mul + add, 0) * zero_mask.astype(y.dtype)
+    _, route = jax.vjp(
+        lambda t: jax.lax.reduce_window(
+            t, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
+        ),
+        a,
+    )
+    (routed,) = route((g32 * A32).astype(y.dtype))
+    zhat = y.astype(jnp.float32) * invstd - mean * invstd
+    # The mean/var chain reaches only statistics sites; the routed (direct)
+    # term lands only on live argmax sites, which are zero_mask-live by
+    # construction — no extra masking needed there.
+    dy = (
+        routed.astype(jnp.float32)
+        + (B32 + C32 * zhat) * stats_mask.astype(jnp.float32)
+    ).astype(y.dtype)
+    return (dy, dgamma.astype(scale.dtype), dbeta.astype(bias.dtype),
+            jnp.zeros_like(stats_mask), jnp.zeros_like(zero_mask))
+
+
+masked_hybrid_bn_relu_pool2.defvjp(_masked_hybrid2_fwd, _masked_hybrid2_bwd)
+
+
+def masked_bn_relu_pool2(y, scale, bias, stats_mask, zero_mask, eps=1e-5):
+    """Plain-XLA composed twin of `masked_hybrid_bn_relu_pool2` (the
+    oracle for its hand-derived backward; autodiff-differentiable)."""
+    mean, var, invstd, count = _masked_stats(y, stats_mask, eps)
+    mul, add = _muladd(mean, invstd, scale, bias, y.dtype)
+    a = jnp.maximum(y * mul + add, 0.0) * zero_mask.astype(y.dtype)
+    pooled, pooled_mask = _masked_pool(a, stats_mask)
+    return pooled, mean, var, pooled_mask
+
+
+def masked_inference_bn_relu_pool2(y, scale, bias, mean, var, stats_mask,
+                                   zero_mask, eps=1e-5):
+    """Eval-mode two-mask path: running stats, relu, zero, pool."""
+    invstd = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    mul, add = _muladd(mean.astype(jnp.float32), invstd, scale, bias, y.dtype)
+    a = jnp.maximum(y * mul + add, 0.0) * zero_mask.astype(y.dtype)
+    pooled, pooled_mask = _masked_pool(a, stats_mask)
+    return pooled, pooled_mask
+
+
 def masked_bn_relu_pool(y, scale, bias, mask, eps=1e-5):
     """Submanifold-faithful variant: statistics over *occupied* sites only.
 
