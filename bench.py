@@ -66,6 +66,13 @@ def main():
         default=[],
         help="extra config overrides, e.g. optimizer.flat_update=false",
     )
+    ap.add_argument(
+        "--trace",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the timed loop into DIR "
+        "(analyze with scripts/trace_report.py DIR --steps N)",
+    )
     args = ap.parse_args()
 
     # NOTE: deliberately NO persistent compilation cache here. A
@@ -195,10 +202,16 @@ def main():
     # reliable synchronization point is a device→host transfer.
     float(losses["train_loss/total_loss"])
 
+    import contextlib
+
+    trace_ctx = (
+        jax.profiler.trace(args.trace) if args.trace else contextlib.nullcontext()
+    )
     tic = time.perf_counter()
-    for i in range(steps):
-        state, losses = train_step(state, batches[i % 2], lr, rng)
-    float(losses["train_loss/total_loss"])  # sync: drains the whole chain
+    with trace_ctx:
+        for i in range(steps):
+            state, losses = train_step(state, batches[i % 2], lr, rng)
+        float(losses["train_loss/total_loss"])  # sync: drains the whole chain
     elapsed = time.perf_counter() - tic
 
     pairs_per_sec = cfg.data.batch_size * steps / elapsed

@@ -340,6 +340,111 @@ class TestMaskedHybrid:
         assert float(dscale_got[0]) == 0.0
 
 
+class TestHybridStem2D:
+    """2-D overlapping-window hybrid (ResNet stem): hand-derived backward
+    must match autodiff of the composed BN→relu→maxpool(3×3/2, pad 1)."""
+
+    def _data(self, seed=0, N=3, H=10, W=10, C=6):
+        rng = np.random.default_rng(seed)
+        y = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+        scale = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        return y, scale, bias
+
+    def test_forward_matches_composed(self):
+        from tricolo_tpu.ops.fused_bn_pool import (
+            hybrid_bn_relu_pool2d,
+            reference_bn_relu_pool2d,
+        )
+
+        y, scale, bias = self._data()
+        ref = reference_bn_relu_pool2d(y, scale, bias)
+        got = hybrid_bn_relu_pool2d(y, scale, bias)
+        assert got[0].shape == (3, 5, 5, 6)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_grads_match_composed(self):
+        from tricolo_tpu.ops.fused_bn_pool import (
+            hybrid_bn_relu_pool2d,
+            reference_bn_relu_pool2d,
+        )
+
+        y, scale, bias = self._data(seed=1)
+
+        def loss(op, y, s, b):
+            pooled, mean, var = op(y, s, b)
+            w = jnp.arange(pooled.size, dtype=jnp.float32).reshape(pooled.shape)
+            return jnp.sum(pooled * w) + jnp.sum(mean * 0.7) + jnp.sum(var * 1.3)
+
+        ref = jax.grad(
+            lambda *a: loss(reference_bn_relu_pool2d, *a), argnums=(0, 1, 2)
+        )(y, scale, bias)
+        got = jax.grad(
+            lambda *a: loss(hybrid_bn_relu_pool2d, *a), argnums=(0, 1, 2)
+        )(y, scale, bias)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            )
+
+    def test_grads_match_composed_bf16(self):
+        """bf16: the hybrid recovers ẑ(argmax) from the bf16-rounded
+        pooled output ((m−β)/γ), so its dγ and the B/C chain constants
+        carry ~0.4% bf16 quantization relative to the composed chain's
+        site-computed ẑ — the comparison tolerances are bf16-scale, not
+        f32-scale (measured worst: dγ 0.43% rel, dy abs 2 on ~300-magnitude
+        index-weighted cotangents; fixed seed keeps tie routing stable)."""
+        from tricolo_tpu.ops.fused_bn_pool import (
+            hybrid_bn_relu_pool2d,
+            reference_bn_relu_pool2d,
+        )
+
+        y, scale, bias = self._data(seed=2, N=2, H=8, W=8, C=4)
+        y = y.astype(jnp.bfloat16)
+
+        def loss(op, y, s, b):
+            pooled, _, _ = op(y, s, b)
+            w = jnp.arange(pooled.size, dtype=jnp.float32).reshape(pooled.shape)
+            return jnp.sum(pooled.astype(jnp.float32) * w)
+
+        ref = jax.grad(
+            lambda *a: loss(reference_bn_relu_pool2d, *a), argnums=(0, 1, 2)
+        )(y, scale, bias)
+        got = jax.grad(
+            lambda *a: loss(hybrid_bn_relu_pool2d, *a), argnums=(0, 1, 2)
+        )(y, scale, bias)
+        np.testing.assert_allclose(
+            np.asarray(got[0], np.float32), np.asarray(ref[0], np.float32),
+            rtol=3e-2, atol=3.0,
+        )
+        for a, b in zip(got[1:], ref[1:]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-2, atol=1.0
+            )
+
+    def test_inference_matches_composed(self):
+        from tricolo_tpu.ops.fused_bn_pool import inference_bn_relu_pool2d
+
+        y, scale, bias = self._data(seed=3)
+        mean = jnp.asarray(np.random.default_rng(4).standard_normal(6), jnp.float32)
+        var = jnp.abs(jnp.asarray(np.random.default_rng(5).standard_normal(6))) + 0.5
+        got = inference_bn_relu_pool2d(y, scale, bias, mean, var)
+        inv = np.asarray(jax.lax.rsqrt(var + 1e-5))
+        a = np.maximum(
+            (np.asarray(y) - np.asarray(mean)) * inv * np.asarray(scale)
+            + np.asarray(bias),
+            0.0,
+        )
+        ref = np.asarray(
+            jax.lax.reduce_window(
+                jnp.asarray(a), -jnp.inf, jax.lax.max,
+                (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
+            )
+        )
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
+
+
 class TestMaskedHybrid2:
     """Two-mask variant (windowed halo-3 block 1): statistics over
     ``stats_mask``, zeroing over ``zero_mask`` ⊇ stats_mask. The hybrid

@@ -96,6 +96,80 @@ def test_resnet18_matches_torch_oracle(tmp_path):
     np.testing.assert_allclose(actual2, actual, atol=1e-6)
 
 
+def test_hybrid_stem_matches_composed():
+    """hybrid_stem=True (StemBNReLUPool) must equal the composed flax
+    bn1→relu→maxpool chain: identical variable tree, stem output equal to
+    flax rounding (~5e-7 — the mul/add fold reorders the normalize), and
+    full-net train-mode outputs/grads equal up to the downstream
+    amplification 8 BatchNorm layers apply to that stem rounding."""
+    from tricolo_tpu.models.resnet import StemBNReLUPool
+    from flax import linen as nn
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    hybrid = ResNet(cnn_name="resnet18", hybrid_stem=True)
+    composed = ResNet(cnn_name="resnet18", hybrid_stem=False)
+    variables = composed.init(jax.random.key(0), img, train=True)
+    vh = hybrid.init(jax.random.key(0), img, train=True)
+    assert jax.tree.structure(variables) == jax.tree.structure(vh)
+
+    # Stem-level: the hybrid module vs the composed flax chain, same
+    # scale/bias — tight tolerance (pure rounding, no amplification).
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 64)).astype(np.float32))
+    stem = StemBNReLUPool()
+    vs = stem.init(jax.random.key(1), x, train=True)
+
+    class _Composed(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = nn.BatchNorm(
+                use_running_average=False, momentum=0.9, epsilon=1e-5, name="bn"
+            )(x)
+            return nn.max_pool(
+                nn.relu(y), (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+            )
+
+    comp = _Composed()
+    vc = {
+        "params": {"bn": vs["params"]},
+        "batch_stats": {"bn": dict(vs["batch_stats"])},
+    }
+    out_s, mut_s = stem.apply(vs, x, train=True, mutable=["batch_stats"])
+    out_cs, mut_cs = comp.apply(vc, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_cs), atol=5e-6, rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(mut_s["batch_stats"]),
+        jax.tree.leaves(mut_cs["batch_stats"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    # Full-net sanity: the ~5e-7 stem rounding amplifies through the
+    # downstream BatchNorms (their batch statistics shift globally), so
+    # the comparison is necessarily loose.
+    def run(model):
+        out, mut = model.apply(variables, img, train=True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    out_c, stats_c = run(composed)
+    out_h, stats_h = run(hybrid)
+    # Elementwise comparison is ill-conditioned here (relu/max boundary
+    # flips on a random-init net move individual features arbitrarily),
+    # so assert the bulk agreement instead.
+    a, b = np.asarray(out_h), np.asarray(out_c)
+    close = np.abs(a - b) <= 5e-3 + 5e-2 * np.abs(b)
+    assert close.mean() > 0.98, f"only {close.mean():.1%} of features agree"
+
+    def loss(v, model):
+        out, _ = model.apply(v, img, train=True, mutable=["batch_stats"])
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    lc = float(loss(variables, composed))
+    lh = float(loss(variables, hybrid))
+    assert abs(lc - lh) < 1e-3 * max(1.0, abs(lc))
+
+
 def test_resnet_init_structure_matches_converted():
     """Random init must produce the same pytree structure as conversion."""
     torch.manual_seed(1)

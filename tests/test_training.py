@@ -191,7 +191,10 @@ class TestTrainStep:
         # module-scoped fixture state survives for later tests.
         state = jax.tree.map(jnp.copy, state)
         first = None
-        for _ in range(12):
+        # 6 repeated steps on one batch are plenty to drive the NT-Xent
+        # loss down (12 steps cost ~8 min of XLA:CPU execution per cold
+        # run for the same assertion).
+        for _ in range(6):
             state, losses = step(state, sharded, 3e-3, rng)
             if first is None:
                 first = float(losses["train_loss/total_loss"])
@@ -456,14 +459,16 @@ class TestPretrainedGraft:
 
 class TestResumeFidelity:
     def test_interrupted_plus_resume_equals_straight_run(self, tmp_path):
-        """Checkpoint/resume must be lossless: train 4 epochs straight vs
-        2 epochs + resume for 2 more — final params, opt state, BN stats
+        """Checkpoint/resume must be lossless: train 2 epochs straight vs
+        1 epoch + resume for 1 more — final params, opt state, BN stats
         and step counter must match exactly (f32, no dropout — the only
         intentionally unresumed state is the dropout stream).
 
         Pins the full checkpoint payload (params/opt_state/batch_stats/
         step/epoch), the seeded per-epoch shuffle, and the lr schedule
-        under resume — the machinery auto_resume relies on."""
+        under resume — the machinery auto_resume relies on. (The 2-vs-1+1
+        schedule exercises the same machinery as the original 4-vs-2+2 at
+        half the ~17 min cold XLA:CPU cost.)"""
         from tricolo_tpu.data import DataModule
         from tricolo_tpu.training.trainer import Trainer
 
@@ -478,21 +483,22 @@ class TestResumeFidelity:
                     "trainer.log_every_n_steps=1",
                     "trainer.profiler=none",
                     "checkpoint_monitor.save_top_k=-1",
+                    "checkpoint_monitor.every_n_epochs=1",
                     f"project_root_path={tmp_path}",
                     f"experiment_name={name}",
                 ]
             )
 
-        cfg_a = cfg_for("straight", 4)
+        cfg_a = cfg_for("straight", 2)
         state_a, _ = Trainer(cfg_a).fit(DataModule(cfg_a))
 
-        cfg_b1 = cfg_for("resumed", 2)
+        cfg_b1 = cfg_for("resumed", 1)
         Trainer(cfg_b1).fit(DataModule(cfg_b1))
         ckpt = os.path.join(
-            cfg_b1.experiment_output_path, "training", "epoch=1.ckpt"
+            cfg_b1.experiment_output_path, "training", "epoch=0.ckpt"
         )
         assert os.path.exists(ckpt)
-        cfg_b2 = cfg_for("resumed", 4)
+        cfg_b2 = cfg_for("resumed", 2)
         state_b, _ = Trainer(cfg_b2).fit(DataModule(cfg_b2), resume_ckpt=ckpt)
 
         assert int(np.asarray(state_a.step)) == int(np.asarray(state_b.step))

@@ -100,6 +100,13 @@ def default_config() -> ConfigNode:
                         # npz produced by tricolo_tpu.models.resnet
                         # conversion); None → random init.
                         "pretrained_path": None,
+                        # ResNet stem bn1→relu→maxpool via the hybrid
+                        # hand-derived backward (BN parameter grads at
+                        # pooled resolution). Default false (composed flax
+                        # chain): the hybrid measured ~45 pairs/s SLOWER
+                        # end-to-end (PERF.md round 3). Same variable tree
+                        # and math either way; opt-in for study.
+                        "hybrid_stem": False,
                     },
                     "VoxelCNNEncoder": {
                         "voxel_size": "${data.voxel_size}",

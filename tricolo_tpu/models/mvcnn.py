@@ -35,6 +35,10 @@ class MVCNNEncoder(nn.Module):
     cnn_name: str = "resnet18"
     dtype: Any = None
     param_dtype: Any = jnp.float32
+    # ResNet stem bn1→relu→maxpool via the hybrid hand-derived backward
+    # (ops/fused_bn_pool.hybrid_bn_relu_pool2d); ignored for EfficientNet.
+    # Off by default — measured slower end-to-end (PERF.md round 3).
+    hybrid_stem: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array, *, train: bool = False, deterministic: bool = True) -> jax.Array:
@@ -50,7 +54,8 @@ class MVCNNEncoder(nn.Module):
         else:
             backbone = ResNet(
                 cnn_name=self.cnn_name, dtype=self.dtype,
-                param_dtype=self.param_dtype, name="backbone",
+                param_dtype=self.param_dtype, hybrid_stem=self.hybrid_stem,
+                name="backbone",
             )
         features = backbone(x, train=train)
         features = features.reshape(batch, views, -1)

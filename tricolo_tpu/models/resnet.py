@@ -28,6 +28,59 @@ from flax import linen as nn
 from .common import torch_conv_kernel_init
 
 
+class StemBNReLUPool(nn.Module):
+    """bn1 → ReLU → 3×3/2 maxpool with a hand-derived hybrid backward.
+
+    Drop-in for the stem's nn.BatchNorm("bn1") + relu + max_pool chain:
+    owns the same variable tree (params scale/bias, batch_stats mean/var
+    under this module's name), so checkpoints interchange with the
+    composed path. Train mode uses ops.fused_bn_pool.hybrid_bn_relu_pool2d
+    (BN parameter grads at pooled resolution — see that op's docstring);
+    eval mode normalizes with the running statistics. Same math as flax
+    BatchNorm within one rounding (f32 statistics, compute in the input
+    dtype), same running-stat update convention.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        from ..ops.fused_bn_pool import (
+            hybrid_bn_relu_pool2d,
+            inference_bn_relu_pool2d,
+        )
+
+        features = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (features,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (features,), self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        if train:
+            pooled, mean, var = hybrid_bn_relu_pool2d(x, scale, bias, self.epsilon)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                )
+        else:
+            pooled = inference_bn_relu_pool2d(
+                x, scale, bias, ra_mean.value, ra_var.value, self.epsilon
+            )
+        return pooled
+
+
 class BasicBlock(nn.Module):
     features: int
     strides: int = 1
@@ -104,6 +157,13 @@ class ResNet(nn.Module):
     cnn_name: str = "resnet18"
     dtype: Any = None
     param_dtype: Any = jnp.float32
+    # hybrid_stem=True runs bn1→relu→maxpool through the hand-derived
+    # hybrid backward (StemBNReLUPool); the default keeps the composed
+    # flax chain — the hybrid LOSES ~45 pairs/s end-to-end (2350 vs 2395,
+    # PERF.md round 3): XLA fuses the composed stem backward with the
+    # conv gradients better than the hand-derived routing pass. Identical
+    # variable tree and math either way; ships opt-in for study.
+    hybrid_stem: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -114,12 +174,18 @@ class ResNet(nn.Module):
             kernel_init=torch_conv_kernel_init, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv1",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
-        )(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.hybrid_stem:
+            x = StemBNReLUPool(
+                momentum=0.9, epsilon=1e-5, param_dtype=self.param_dtype,
+                name="bn1",
+            )(x, train=train)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="bn1",
+            )(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for stage, num_blocks in enumerate(stage_sizes):
             for block in range(num_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1

@@ -49,6 +49,7 @@ class TriCoLoNet(nn.Module):
     num_views: int = 6
     z_dim: int = 512
     cnn_name: str = "resnet18"
+    image_hybrid_stem: bool = False
     # VoxelCNN
     voxel_size: int = 64
     ef_dim: int = 32
@@ -93,6 +94,7 @@ class TriCoLoNet(nn.Module):
             num_views=modules.MVCNNEncoder.num_views,
             z_dim=modules.MVCNNEncoder.z_dim,
             cnn_name=modules.MVCNNEncoder.cnn_name,
+            image_hybrid_stem=bool(modules.MVCNNEncoder.get("hybrid_stem", False)),
             voxel_size=modules.VoxelCNNEncoder.voxel_size,
             ef_dim=modules.VoxelCNNEncoder.ef_dim,
             voxel_z_dim=modules.VoxelCNNEncoder.get("z_dim", modules.MVCNNEncoder.z_dim),
@@ -149,6 +151,7 @@ class TriCoLoNet(nn.Module):
             output["image_features"] = MVCNNEncoder(
                 num_views=self.num_views, z_dim=self.z_dim, out_dim=self.out_dim,
                 cnn_name=self.cnn_name, dtype=self.dtype,
+                hybrid_stem=self.image_hybrid_stem,
                 param_dtype=self.param_dtype or jax.numpy.float32, name="image_encoder",
             )(batch["images"], train=train, deterministic=deterministic)
         elif self.image_encoder is not None:

@@ -663,6 +663,109 @@ def masked_inference_bn_relu_pool2(y, scale, bias, mean, var, stats_mask,
     return pooled, pooled_mask
 
 
+# ---------------------------------------------------------------------------
+# 2-D stem variant: BN(train) → ReLU → overlapping MaxPool(3×3, stride 2,
+# pad 1) — the torchvision ResNet stem (models/resnet.py, reference
+# mv_cnn.py:44-58 via torchvision resnet). The pooled-resolution
+# BN-parameter-grad trick survives OVERLAPPING windows because dγ/dβ sum
+# per *window*, not per site: each window's routed gradient lands at its
+# argmax, where relu' = [m > 0] and ẑ = (m − β)/γ are recoverable from the
+# pooled output alone. Routing (a site argmax of several windows sums their
+# cotangents) is the VJP of reduce_window-max itself.
+# ---------------------------------------------------------------------------
+
+
+def _stats2d(y, eps):
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean)
+    var = jnp.maximum(var, 0.0)
+    invstd = jax.lax.rsqrt(var + eps)
+    return mean, var, invstd
+
+
+def _pool2d(a):
+    return jax.lax.reduce_window(
+        a,
+        -jnp.inf,
+        jax.lax.max,
+        (1, 3, 3, 1),
+        (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def hybrid_bn_relu_pool2d(y, scale, bias, eps=1e-5):
+    """BN(train) → ReLU → MaxPool(3×3/2, pad 1) with the hybrid backward.
+
+    The 2-D overlapping-window sibling of `hybrid_bn_relu_pool` for the
+    ResNet stem. XLA both sides; BN parameter grads reduce at pooled (¼)
+    resolution, killing the full-resolution BN-backward reduction passes
+    over the (B·V, 64², 64) stem activation. Returns (pooled, mean, var);
+    grads match the composed autodiff to f32 rounding (first-max routing,
+    relu'(0)=0). γ == 0.0 exactly makes dγ for that channel zero (the
+    ẑ-recovery divides by γ) — torch-init γ=1 and weight decay never
+    produce an exact 0.0 in practice.
+    """
+    out, _ = _hybrid2d_fwd(y, scale, bias, eps)
+    return out
+
+
+def _hybrid2d_fwd(y, scale, bias, eps):
+    if y.ndim != 4:
+        raise ValueError(f"expected (N, H, W, C) activations, got {y.shape}")
+    mean, var, invstd = _stats2d(y, eps)
+    mul, add = _muladd(mean, invstd, scale, bias, y.dtype)
+    pooled = _pool2d(jnp.maximum(y * mul + add, 0.0))
+    residuals = (y, pooled, scale, bias, mean, invstd, mul, add)
+    return ((pooled, mean, var), residuals)
+
+
+def _hybrid2d_bwd(eps, residuals, cts):
+    g_out, g_mean, g_var = cts
+    y, pooled, scale, bias, mean, invstd, mul, add = residuals
+    N, H, W, C = y.shape
+    n = float(N * H * W)
+
+    live = (pooled > 0).astype(jnp.float32)
+    g32 = g_out.astype(jnp.float32) * live
+    scale32 = scale.astype(jnp.float32)
+    safe = jnp.where(scale32 == 0.0, 1.0, scale32)
+    zmax = (pooled.astype(jnp.float32) - bias.astype(jnp.float32)) / safe
+    zmax = jnp.where(scale32 == 0.0, 0.0, zmax)
+    dbeta = jnp.sum(g32, axis=(0, 1, 2))
+    dgamma = jnp.sum(g32 * zmax, axis=(0, 1, 2))
+
+    A32 = scale32 * invstd
+    B32 = -A32 * dbeta / n + g_mean / n
+    C32 = -A32 * dgamma / n + 2.0 * g_var / (n * invstd)
+
+    a = jnp.maximum(y * mul + add, 0)
+    _, route = jax.vjp(_pool2d, a)
+    (routed,) = route((g32 * A32).astype(y.dtype))
+    zhat = y.astype(jnp.float32) * invstd - mean * invstd
+    dy = (routed.astype(jnp.float32) + B32 + C32 * zhat).astype(y.dtype)
+    return dy, dgamma.astype(scale.dtype), dbeta.astype(bias.dtype)
+
+
+hybrid_bn_relu_pool2d.defvjp(_hybrid2d_fwd, _hybrid2d_bwd)
+
+
+def reference_bn_relu_pool2d(y, scale, bias, eps=1e-5):
+    """Plain-XLA composed twin (the autodiff oracle for the 2-D hybrid)."""
+    mean, var, invstd = _stats2d(y, eps)
+    mul, add = _muladd(mean, invstd, scale, bias, y.dtype)
+    return _pool2d(jnp.maximum(y * mul + add, 0.0)), mean, var
+
+
+def inference_bn_relu_pool2d(y, scale, bias, mean, var, eps=1e-5):
+    """Eval-mode stem path: running statistics, relu, 3×3/2 pool."""
+    invstd = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    mul, add = _muladd(mean.astype(jnp.float32), invstd, scale, bias, y.dtype)
+    return _pool2d(jnp.maximum(y * mul + add, 0.0))
+
+
 def masked_bn_relu_pool(y, scale, bias, mask, eps=1e-5):
     """Submanifold-faithful variant: statistics over *occupied* sites only.
 
