@@ -105,7 +105,13 @@ def main():
     # round-2 dense unmasked encoder (PERF.md round 3). The A100 estimate
     # likewise excludes the host-side collate.
     if not any(o.startswith("data.voxel_transfer") for o in args.override):
-        cfg.data.voxel_transfer = "windowed_compact"
+        # 128³ keeps the round-3-proven dense-transfer recipe: the windowed
+        # program at 128³ (batch 32, remat, ~31k active 14³ rows) exceeded a
+        # 25-minute remote compile without finishing — unvalidated, not
+        # default. Override data.voxel_transfer to experiment.
+        cfg.data.voxel_transfer = (
+            "dense" if args.voxel_size >= 128 else "windowed_compact"
+        )
     if args.voxel_size >= 128 and "precision.remat_voxel=true" not in args.override:
         # 128³ memory plan: block-1 activations alone are (B,128³,32) bf16
         # = 134 MB·B/chip; batch 32 + rematerialized voxel stack fits a

@@ -397,14 +397,19 @@ def _hybrid_fwd(y, scale, bias, eps):
     _check_shapes(y, scale, bias)
     mean, var, invstd = _stats(y, eps)
     mul, add = _muladd(mean, invstd, scale, bias, y.dtype)
-    pooled = _relu_pool(y, mul, add)
-    residuals = (y, pooled, scale, bias, mean, invstd, mul, add)
+    a = jnp.maximum(y * mul + add, 0.0)
+    pooled = jax.lax.reduce_window(
+        a, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
+    )
+    # `a` rides in the residuals — the bwd routes through it directly
+    # instead of recomputing (see _masked_hybrid2_fwd).
+    residuals = (y, a, pooled, scale, bias, mean, invstd)
     return ((pooled, mean, var), residuals)
 
 
 def _hybrid_bwd(eps, residuals, cts):
     g_out, g_mean, g_var = cts
-    y, pooled, scale, bias, mean, invstd, mul, add = residuals
+    y, a, pooled, scale, bias, mean, invstd = residuals
     B, D, H, W, C = y.shape
     n = float(B * D * H * W)
 
@@ -426,9 +431,7 @@ def _hybrid_bwd(eps, residuals, cts):
     C32 = -A32 * dgamma / n + 2.0 * g_var / (n * invstd)
 
     # First-max routing through the pool = the VJP of reduce_window-max on
-    # the recomputed activation (internally consistent — no cross-program
-    # bit-exact compare needed).
-    a = jnp.maximum(y * mul + add, 0)
+    # the forward's saved activation.
     _, route = jax.vjp(
         lambda t: jax.lax.reduce_window(
             t, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
@@ -523,13 +526,15 @@ def _masked_hybrid_fwd(y, scale, bias, mask, eps):
     mul, add = _muladd(mean, invstd, scale, bias, y.dtype)
     a = jnp.maximum(y * mul + add, 0.0) * mask.astype(y.dtype)
     pooled, pooled_mask = _masked_pool(a, mask)
-    residuals = (y, pooled, mask, scale, bias, mean, invstd, count, mul, add)
+    # `a` rides in the residuals — the bwd routes through it directly
+    # instead of recomputing (see _masked_hybrid2_fwd).
+    residuals = (y, a, pooled, mask, scale, bias, mean, invstd, count)
     return ((pooled, mean, var, pooled_mask), residuals)
 
 
 def _masked_hybrid_bwd(eps, residuals, cts):
     g_out, g_mean, g_var, _g_pmask = cts  # pooled-mask cotangent: mask is data
-    y, pooled, mask, scale, bias, mean, invstd, count, mul, add = residuals
+    y, a, pooled, mask, scale, bias, mean, invstd, count = residuals
 
     # Pooled-resolution BN parameter grads: pooled m > 0 ⟹ the argmax site
     # is active (mask=1) and relu-live, where m = γ·ẑ + β.
@@ -547,7 +552,6 @@ def _masked_hybrid_bwd(eps, residuals, cts):
     B32 = -A32 * dbeta / count + g_mean / count
     C32 = -A32 * dgamma / count + 2.0 * g_var / (count * invstd)
 
-    a = jnp.maximum(y * mul + add, 0) * mask.astype(y.dtype)
     _, route = jax.vjp(
         lambda t: jax.lax.reduce_window(
             t, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
@@ -597,15 +601,18 @@ def _masked_hybrid2_fwd(y, scale, bias, stats_mask, zero_mask, eps):
     mul, add = _muladd(mean, invstd, scale, bias, y.dtype)
     a = jnp.maximum(y * mul + add, 0.0) * zero_mask.astype(y.dtype)
     pooled, pooled_mask = _masked_pool(a, stats_mask)
-    residuals = (y, pooled, stats_mask, zero_mask, scale, bias, mean, invstd,
-                 count, mul, add)
+    # `a` rides in the residuals: the backward routes through it directly
+    # instead of recomputing (saves one elementwise pass + a full read of
+    # y in the bwd; fwd and bwd live in one jitted train program, so the
+    # array is alive either way until XLA schedules the routing).
+    residuals = (y, a, pooled, stats_mask, scale, bias, mean, invstd,
+                 count)
     return ((pooled, mean, var, pooled_mask), residuals)
 
 
 def _masked_hybrid2_bwd(eps, residuals, cts):
     g_out, g_mean, g_var, _g_pmask = cts
-    (y, pooled, stats_mask, zero_mask, scale, bias, mean, invstd, count,
-     mul, add) = residuals
+    (y, a, pooled, stats_mask, scale, bias, mean, invstd, count) = residuals
 
     live = (pooled > 0).astype(jnp.float32)
     g32 = g_out.astype(jnp.float32) * live
@@ -620,7 +627,6 @@ def _masked_hybrid2_bwd(eps, residuals, cts):
     B32 = -A32 * dbeta / count + g_mean / count
     C32 = -A32 * dgamma / count + 2.0 * g_var / (count * invstd)
 
-    a = jnp.maximum(y * mul + add, 0) * zero_mask.astype(y.dtype)
     _, route = jax.vjp(
         lambda t: jax.lax.reduce_window(
             t, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
@@ -636,8 +642,9 @@ def _masked_hybrid2_bwd(eps, residuals, cts):
         routed.astype(jnp.float32)
         + (B32 + C32 * zhat) * stats_mask.astype(jnp.float32)
     ).astype(y.dtype)
+    # zero_mask shares stats_mask's (B, D, H, W, 1) shape/dtype.
     return (dy, dgamma.astype(scale.dtype), dbeta.astype(bias.dtype),
-            jnp.zeros_like(stats_mask), jnp.zeros_like(zero_mask))
+            jnp.zeros_like(stats_mask), jnp.zeros_like(stats_mask))
 
 
 masked_hybrid_bn_relu_pool2.defvjp(_masked_hybrid2_fwd, _masked_hybrid2_bwd)
