@@ -235,11 +235,17 @@ def data_preset(name: str) -> ConfigNode:
             # scatters on device (~6.6 ms/step at 64³ on v5e, 16× fewer H2D
             # bytes); "dense" densifies in the prefetch thread and ships the
             # u32 grid (scatter cost vanishes; H2D overlaps with compute);
-            # "windowed"/"windowed_compact" materialize halo'd 10³ tile
-            # windows for the tile-sparse masked voxel encoder (requires
-            # masked_bn) — compact ships only the active rows (budget =
-            # VoxelCNNEncoder.tile_budget_frac) and is the fastest
-            # deployment path (PERF.md round 3).
+            # "windowed"/"windowed_compact" materialize halo'd tile windows
+            # (10³ rows, or 14³ when VoxelCNNEncoder.tile_sparse_blocks ≥ 2
+            # — the loader derives the halo) for the tile-sparse masked
+            # voxel encoder (requires masked_bn) — compact ships only the
+            # active rows (budget = VoxelCNNEncoder.tile_budget_frac) and
+            # is the fastest deployment path: the bench flagship runs
+            # windowed_compact at 2390 pairs/s vs ~1740 dense (PERF.md
+            # round 3). The default stays "packed": it is the only mode
+            # with no site/tile truncation at any budget, so parity runs
+            # see every voxel; flip to windowed_compact (+ a fitted
+            # tile_budget_frac) for throughput.
             "voxel_transfer": "packed",
         }
     )
