@@ -340,6 +340,52 @@ class TestMaskedHybrid:
         assert float(dscale_got[0]) == 0.0
 
 
+class TestRoutingModes:
+    """ROUTING='compare' (8-slice first-max compare against the saved
+    pooled max) must reproduce ROUTING='sas' (select_and_scatter) exactly,
+    including bf16 ties resolving to the same scan-order-first site."""
+
+    def _grads(self, mode, y, scale, bias, mask):
+        import tricolo_tpu.ops.fused_bn_pool as fbp
+
+        old = fbp.ROUTING
+        fbp.ROUTING = mode
+        try:
+            def loss(y, s, b):
+                pooled, mean, var, _ = fbp.masked_hybrid_bn_relu_pool(
+                    y, s, b, mask
+                )
+                w = jnp.arange(pooled.size, dtype=jnp.float32).reshape(pooled.shape)
+                return jnp.sum(pooled.astype(jnp.float32) * w)
+
+            # fresh trace per mode (the global is read at trace time)
+            return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(y, scale, bias)
+        finally:
+            fbp.ROUTING = old
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_compare_matches_sas(self, dtype):
+        rng = np.random.default_rng(5)
+        B, D, C = 2, 8, 6
+        y = jnp.asarray(rng.standard_normal((B, D, D, D, C)).astype(np.float32))
+        # quantized values force exact ties inside pooling windows at bf16
+        y = y.astype(dtype)
+        mask = jnp.asarray(
+            (rng.random((B, D, D, D, 1)) < 0.6).astype(np.float32)
+        ).astype(dtype)
+        scale = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        ref = self._grads("sas", y, scale, bias, mask)
+        got = self._grads("compare", y, scale, bias, mask)
+        for a, b in zip(got, ref):
+            # ulp-level fusion-order noise only: a tie mis-route would show
+            # full-cotangent-magnitude diffs (~40), caught by this bound.
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-5, atol=1e-5,
+            )
+
+
 class TestHybridStem2D:
     """2-D overlapping-window hybrid (ResNet stem): hand-derived backward
     must match autodiff of the composed BN→relu→maxpool(3×3/2, pad 1)."""

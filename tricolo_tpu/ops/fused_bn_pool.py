@@ -430,15 +430,8 @@ def _hybrid_bwd(eps, residuals, cts):
     B32 = -A32 * dbeta / n + g_mean / n
     C32 = -A32 * dgamma / n + 2.0 * g_var / (n * invstd)
 
-    # First-max routing through the pool = the VJP of reduce_window-max on
-    # the forward's saved activation.
-    _, route = jax.vjp(
-        lambda t: jax.lax.reduce_window(
-            t, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
-        ),
-        a,
-    )
-    (routed,) = route((g32 * A32).astype(y.dtype))
+    # First-max routing through the pool on the forward's saved activation.
+    routed = _route_pool_grad(a, pooled, (g32 * A32).astype(y.dtype))
     zhat = y.astype(jnp.float32) * invstd - mean * invstd
     dy = (routed.astype(jnp.float32) + B32 + C32 * zhat).astype(y.dtype)
     return dy, dgamma.astype(scale.dtype), dbeta.astype(bias.dtype)
@@ -499,6 +492,54 @@ def masked_hybrid_bn_relu_pool(y, scale, bias, mask, eps=1e-5):
     return out
 
 
+# Gradient-routing backend for the hybrid backwards: "sas" = the VJP of
+# reduce_window-max (XLA select_and_scatter); "compare" = an exact
+# compare of the saved forward activation against its own pooled max,
+# with the scan-order first-max tie-break built from 8 static window
+# slices (identical semantics — ties resolve to the same site — but a
+# different lowering; measured per-backend, see PERF.md). Module-level so
+# the probe script can flip it before tracing.
+ROUTING = "sas"
+
+
+def _route_pool_grad(a, pooled, g):
+    """Route pooled cotangent ``g`` to each 2³ window's first max of ``a``.
+
+    Exact twin of the reduce_window-max VJP: ``pooled`` must be the
+    window max of ``a`` (no arithmetic between them, so ``==`` is exact),
+    and ties resolve to the first site in (d, h, w) scan order.
+    """
+    if ROUTING == "sas":
+        _, route = jax.vjp(
+            lambda t: jax.lax.reduce_window(
+                t, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1),
+                "VALID",
+            ),
+            a,
+        )
+        (routed,) = route(g)
+        return routed
+    B, D, H, W, C = a.shape
+    a7 = a.reshape(B, D // 2, 2, H // 2, 2, W // 2, 2, C)
+    taken = None
+    pieces = []
+    for dd in range(2):
+        for hh in range(2):
+            for ww in range(2):
+                sl = a7[:, :, dd, :, hh, :, ww]
+                hit = sl == pooled
+                if taken is None:
+                    taken = hit
+                else:
+                    hit = hit & ~taken
+                    taken = taken | hit
+                pieces.append(jnp.where(hit, g, 0).astype(a.dtype))
+    routed = jnp.stack(pieces, axis=4)  # (B, D/2, H/2, W/2, 8, C)
+    routed = routed.reshape(B, D // 2, H // 2, W // 2, 2, 2, 2, C)
+    routed = routed.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return routed.reshape(B, D, H, W, C)
+
+
 def _masked_stats(y, mask, eps):
     yf = y.astype(jnp.float32)
     m = mask.astype(jnp.float32)
@@ -552,13 +593,7 @@ def _masked_hybrid_bwd(eps, residuals, cts):
     B32 = -A32 * dbeta / count + g_mean / count
     C32 = -A32 * dgamma / count + 2.0 * g_var / (count * invstd)
 
-    _, route = jax.vjp(
-        lambda t: jax.lax.reduce_window(
-            t, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
-        ),
-        a,
-    )
-    (routed,) = route((g32 * A32).astype(y.dtype))
+    routed = _route_pool_grad(a, pooled, (g32 * A32).astype(y.dtype))
     zhat = y.astype(jnp.float32) * invstd - mean * invstd
     dy = (
         (routed.astype(jnp.float32) + (B32 + C32 * zhat))
@@ -627,13 +662,7 @@ def _masked_hybrid2_bwd(eps, residuals, cts):
     B32 = -A32 * dbeta / count + g_mean / count
     C32 = -A32 * dgamma / count + 2.0 * g_var / (count * invstd)
 
-    _, route = jax.vjp(
-        lambda t: jax.lax.reduce_window(
-            t, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
-        ),
-        a,
-    )
-    (routed,) = route((g32 * A32).astype(y.dtype))
+    routed = _route_pool_grad(a, pooled, (g32 * A32).astype(y.dtype))
     zhat = y.astype(jnp.float32) * invstd - mean * invstd
     # The mean/var chain reaches only statistics sites; the routed (direct)
     # term lands only on live argmax sites, which are zero_mask-live by
