@@ -181,3 +181,56 @@ def test_resnet_init_structure_matches_converted():
     actual_struct = jax.tree.structure(params)
     assert expected_struct == actual_struct
     assert jax.tree.structure(variables["batch_stats"]) == jax.tree.structure(stats)
+
+
+def test_s2d_stem_matches_plain_conv():
+    """S2DStemConv (4×4/1 conv over 2×2 space-to-depth input) must equal the
+    plain 7×7/2/p3 stem conv: identical parameter tree, identical outputs
+    (up to f32 conv summation-order rounding), identical kernel gradients."""
+    from flax import linen as nn
+    from tricolo_tpu.models.resnet import S2DStemConv
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    s2d = S2DStemConv(features=64)
+    vs = s2d.init(jax.random.key(3), img)
+    plain = nn.Conv(
+        64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False
+    )
+    assert jax.tree.structure(vs) == jax.tree.structure(
+        plain.init(jax.random.key(3), img)
+    )
+    assert vs["params"]["kernel"].shape == (7, 7, 3, 64)
+
+    out_s = np.asarray(s2d.apply(vs, img))
+    out_p = np.asarray(plain.apply(vs, img))
+    assert out_s.shape == out_p.shape == (3, 16, 16, 64)
+    np.testing.assert_allclose(out_s, out_p, atol=1e-5, rtol=1e-5)
+
+    # Kernel gradients through the pad/space-to-depth rearrangement.
+    def loss(v, mod):
+        return jnp.sum(jnp.sin(mod.apply(v, img)))
+
+    gs = jax.grad(loss)(vs, s2d)["params"]["kernel"]
+    gp = jax.grad(loss)(vs, plain)["params"]["kernel"]
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gp), atol=2e-5, rtol=1e-4)
+
+    # Odd spatial dims are rejected (the (4,2) pad rule assumes even H/W).
+    with np.testing.assert_raises(ValueError):
+        s2d.apply(vs, jnp.zeros((1, 31, 31, 3)))
+
+
+def test_s2d_stem_full_resnet_equivalence():
+    """ResNet(s2d_stem=True) shares the variable tree with the plain model
+    and produces the same features on the same parameters."""
+    rng = np.random.default_rng(12)
+    img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    plain = ResNet(cnn_name="resnet18", s2d_stem=False)
+    s2d = ResNet(cnn_name="resnet18", s2d_stem=True)
+    variables = plain.init(jax.random.key(0), img, train=False)
+    assert jax.tree.structure(
+        s2d.init(jax.random.key(0), img, train=False)
+    ) == jax.tree.structure(variables)
+    out_p = np.asarray(plain.apply(variables, img, train=False))
+    out_s = np.asarray(s2d.apply(variables, img, train=False))
+    np.testing.assert_allclose(out_s, out_p, atol=5e-4, rtol=1e-3)

@@ -107,6 +107,11 @@ def default_config() -> ConfigNode:
                         # end-to-end (PERF.md round 3). Same variable tree
                         # and math either way; opt-in for study.
                         "hybrid_stem": False,
+                        # Stem conv via 2×2 space-to-depth (4×4/1 conv,
+                        # exactly equivalent, same parameter tree —
+                        # resnet.S2DStemConv). Opt-in pending an
+                        # end-to-end TPU measurement (PERF.md).
+                        "s2d_stem": False,
                     },
                     "VoxelCNNEncoder": {
                         "voxel_size": "${data.voxel_size}",

@@ -39,6 +39,9 @@ class MVCNNEncoder(nn.Module):
     # (ops/fused_bn_pool.hybrid_bn_relu_pool2d); ignored for EfficientNet.
     # Off by default — measured slower end-to-end (PERF.md round 3).
     hybrid_stem: bool = False
+    # ResNet stem conv as a space-to-depth 4×4/1 conv (resnet.S2DStemConv);
+    # exactly equivalent, same parameter tree. Ignored for EfficientNet.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array, *, train: bool = False, deterministic: bool = True) -> jax.Array:
@@ -55,6 +58,7 @@ class MVCNNEncoder(nn.Module):
             backbone = ResNet(
                 cnn_name=self.cnn_name, dtype=self.dtype,
                 param_dtype=self.param_dtype, hybrid_stem=self.hybrid_stem,
+                s2d_stem=self.s2d_stem,
                 name="backbone",
             )
         features = backbone(x, train=train)

@@ -81,6 +81,65 @@ class StemBNReLUPool(nn.Module):
         return pooled
 
 
+class S2DStemConv(nn.Module):
+    """The 7×7/2 stem conv computed as a 4×4/1 conv over space-to-depth input.
+
+    The MLPerf-style TPU stem transform: XLA lowers a stride-2 Cin=3 7×7
+    conv poorly (tiny contraction dim, strided windows), so rewrite it as an
+    exactly-equivalent stride-1 conv over the 2×2 space-to-depth rearranged
+    image — contraction dim 4·4·12 = 192 instead of 7·7·3 taps at stride 2.
+
+    Exact equivalence: pad the 7×7 kernel to 8×8 with a zero top-left
+    row/col (k8[u,v] = k7[u-1,v-1]); with input padding (4,2) per spatial
+    axis, output o of the stride-2 8×8 conv reads original rows
+    2o-4..2o+3 where the 2o-4 tap has zero weight — identical to
+    k7/s2/p3. Every read is then 2-aligned, so the conv factors through
+    space-to-depth: x(N,H,W,3) → (N,(H+6)/2,(W+6)/2,12) and
+    k8(8,8,3,F) → (4,4,12,F) with matching (phase-major) channel order.
+
+    Owns the SAME parameter ("kernel", (7,7,3,F)) as the plain nn.Conv
+    stem, so checkpoints and converted torchvision weights interchange;
+    the 8×8 pad/reshape runs on the 9 KB kernel per step (noise).
+    """
+
+    features: int = 64
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (7, 7, 3, self.features),
+            self.param_dtype,
+        )
+        N, H, W, C = x.shape
+        if H % 2 or W % 2:
+            raise ValueError(f"s2d stem requires even spatial dims, got {H}x{W}")
+        dtype = self.dtype or x.dtype
+        k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8,8,3,F)
+        k = (
+            k.reshape(4, 2, 4, 2, C, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * C, self.features)
+        )
+        xp = jnp.pad(x, ((0, 0), (4, 2), (4, 2), (0, 0)))
+        hp, wp = (H + 6) // 2, (W + 6) // 2
+        xs = (
+            xp.reshape(N, hp, 2, wp, 2, C)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(N, hp, wp, 4 * C)
+        )
+        return jax.lax.conv_general_dilated(
+            xs.astype(dtype),
+            k.astype(dtype),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class BasicBlock(nn.Module):
     features: int
     strides: int = 1
@@ -164,16 +223,26 @@ class ResNet(nn.Module):
     # conv gradients better than the hand-derived routing pass. Identical
     # variable tree and math either way; ships opt-in for study.
     hybrid_stem: bool = False
+    # s2d_stem=True computes the stem conv as a 4×4/1 conv over 2×2
+    # space-to-depth input (S2DStemConv) — exactly equivalent, same
+    # parameter tree; opt-in pending an end-to-end measurement.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         block_cls, stage_sizes, _ = _ARCHS[self.cnn_name]
         x = x.astype(self.dtype or jnp.float32)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
-            kernel_init=torch_conv_kernel_init, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="conv1",
-        )(x)
+        if self.s2d_stem:
+            x = S2DStemConv(
+                features=64, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="conv1",
+            )(x)
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+                kernel_init=torch_conv_kernel_init, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="conv1",
+            )(x)
         if self.hybrid_stem:
             x = StemBNReLUPool(
                 momentum=0.9, epsilon=1e-5, param_dtype=self.param_dtype,

@@ -50,6 +50,7 @@ class TriCoLoNet(nn.Module):
     z_dim: int = 512
     cnn_name: str = "resnet18"
     image_hybrid_stem: bool = False
+    image_s2d_stem: bool = False
     # VoxelCNN
     voxel_size: int = 64
     ef_dim: int = 32
@@ -95,6 +96,7 @@ class TriCoLoNet(nn.Module):
             z_dim=modules.MVCNNEncoder.z_dim,
             cnn_name=modules.MVCNNEncoder.cnn_name,
             image_hybrid_stem=bool(modules.MVCNNEncoder.get("hybrid_stem", False)),
+            image_s2d_stem=bool(modules.MVCNNEncoder.get("s2d_stem", False)),
             voxel_size=modules.VoxelCNNEncoder.voxel_size,
             ef_dim=modules.VoxelCNNEncoder.ef_dim,
             voxel_z_dim=modules.VoxelCNNEncoder.get("z_dim", modules.MVCNNEncoder.z_dim),
@@ -152,6 +154,7 @@ class TriCoLoNet(nn.Module):
                 num_views=self.num_views, z_dim=self.z_dim, out_dim=self.out_dim,
                 cnn_name=self.cnn_name, dtype=self.dtype,
                 hybrid_stem=self.image_hybrid_stem,
+                s2d_stem=self.image_s2d_stem,
                 param_dtype=self.param_dtype or jax.numpy.float32, name="image_encoder",
             )(batch["images"], train=train, deterministic=deterministic)
         elif self.image_encoder is not None:
