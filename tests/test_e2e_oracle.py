@@ -216,6 +216,100 @@ def test_biv_train_steps_match_torch():
         )
 
 
+class TorchMaskedVoxelCNN(TorchVoxelCNN):
+    """Submanifold (spconv-faithful) twin of the reference SparseCNNEncoder
+    (sparse_cnn.py:11-40): dense conv over the zero-masked grid equals
+    SubMConv3d at active sites (inactive inputs are zero; outputs off the
+    active set are discarded), BatchNorm statistics reduce over active sites
+    only (spconv's BatchNorm1d sees the (N_active, C) feature matrix),
+    normalized+relu'd values are zeroed at inactive sites, and MaxPool3d over
+    the resulting ≥0 grid equals the sparse pool wherever a window holds an
+    active site; the mask itself pools by window-any. These are exactly the
+    semantics of ops/fused_bn_pool.masked_bn_relu_pool — the flagship
+    masked_bn=true default since round 3 (PARITY.md)."""
+
+    def forward(self, x, mask):  # x: (B,3,D,D,D), mask: (B,1,D,D,D) 0/1
+        h, m = x, mask
+        mods = list(self.net)
+        for i in range(0, len(mods), 4):
+            conv, bn = mods[i], mods[i + 1]
+            h = conv(h)
+            count = m.sum().clamp(min=1.0)
+            mean = (h * m).sum(dim=(0, 2, 3, 4)) / count
+            var = ((h * h) * m).sum(dim=(0, 2, 3, 4)) / count - mean * mean
+            var = var.clamp(min=0.0)
+            cshape = (1, -1, 1, 1, 1)
+            hhat = (h - mean.view(cshape)) * torch.rsqrt(var + bn.eps).view(cshape)
+            h = torch.relu(hhat * bn.weight.view(cshape) + bn.bias.view(cshape)) * m
+            h = F.max_pool3d(h, 2)
+            m = F.max_pool3d(m, 2)
+        return F.normalize(self.mlp(h.flatten(start_dim=1)), dim=1)
+
+
+def test_biv_masked_train_steps_match_torch():
+    """The FLAGSHIP voxel semantics (masked_bn=true, the config default since
+    round 3) against a torch oracle implementing spconv's submanifold
+    behavior directly. Together with tests/test_tile_sparse.py (windowed /
+    windowed_compact / tile-sparse paths bit-exact vs dense-masked), this
+    pins the entire flagship voxel compute chain to torch numerics."""
+    cfg = load_config(
+        [
+            "data=synthetic",
+            "model.voxel_encoder=VoxelCNNEncoder",
+            f"model.out_dim={OUT}",
+            f"model.modules.VoxelCNNEncoder.ef_dim={EF}",
+            f"model.modules.VoxelCNNEncoder.z_dim={Z}",
+            f"model.modules.MVCNNEncoder.z_dim={Z}",
+            f"data.vocab_size={VOCAB}",
+            f"data.voxel_size={VOX}",
+            f"data.batch_size={BATCH}",
+            "precision.compute_dtype=float32",
+        ]
+    )
+    assert cfg.model.modules.VoxelCNNEncoder.masked_bn is True  # the default
+    rng = np.random.default_rng(13)
+    host = _host_batch(rng)
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+
+    torch.manual_seed(0)
+    tt, tv = TorchBiGRU(), TorchMaskedVoxelCNN()
+
+    model = TriCoLoNet.from_config(cfg)
+    device_batch = prepare_device_batch(batch, VOX, voxel_mask=True)
+    variables = model.init(jax.random.PRNGKey(0), device_batch)
+    variables = _transplant(variables, tt, tv)
+
+    dense = np.asarray(device_batch["voxels"])  # (B, D, D, D, 4) RGB+mask
+    t_vox = torch.from_numpy(dense[..., :3].transpose(0, 4, 1, 2, 3).copy())
+    t_mask = torch.from_numpy(dense[..., 3:].transpose(0, 4, 1, 2, 3).copy())
+    t_tok = torch.from_numpy(host["tokens"].astype(np.int64))
+
+    lr = cfg.optimizer.lr
+    opt = torch.optim.Adam(
+        list(tt.parameters()) + list(tv.parameters()),
+        lr=lr,
+        weight_decay=cfg.optimizer.weight_decay,
+        eps=1e-8,
+    )
+    tx = make_optimizer(cfg)
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, tx, cfg)
+    key = jax.random.PRNGKey(1)
+
+    tt.train(), tv.train()
+    for step in range(3):
+        opt.zero_grad()
+        t_loss = torch_nt_xent(tt(t_tok), tv(t_vox, t_mask))
+        t_loss.backward()
+        opt.step()
+
+        state, losses = train_step(state, batch, lr, key)
+        j_loss = float(losses["train_loss/total_loss"])
+        assert abs(j_loss - float(t_loss)) < 2e-4, (
+            f"step {step}: jax {j_loss} vs torch {float(t_loss)}"
+        )
+
+
 class TorchMVCNN(torch.nn.Module):
     """Reference MVCNN twin (mv_cnn.py:9-33): shared ResNet18 backbone over
     the view-folded batch, element-wise max over views, fc→z_dim, MLP,
