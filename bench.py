@@ -112,7 +112,9 @@ def main():
         cfg.data.voxel_transfer = (
             "dense" if args.voxel_size >= 128 else "windowed_compact"
         )
-    if args.voxel_size >= 128 and "precision.remat_voxel=true" not in args.override:
+    if args.voxel_size >= 128 and not any(
+        o.startswith("precision.remat_voxel") for o in args.override
+    ):
         # 128³ memory plan: block-1 activations alone are (B,128³,32) bf16
         # = 134 MB·B/chip; batch 32 + rematerialized voxel stack fits a
         # 16 GB v5e (see PERF.md "128³ configuration").
@@ -171,11 +173,11 @@ def main():
             host["voxel_tile_occ"] = occ
         elif cfg.data.voxel_transfer == "windowed_compact":
             from tricolo_tpu.data.device_prep import windowed_compact_on_host
+            from tricolo_tpu.ops.tile_sparse import tile_budget
 
             tg3 = (cfg.data.voxel_size // 8) ** 3
             frac = float(cfg.model.modules.VoxelCNNEncoder.tile_budget_frac)
-            budget = -(-int(frac * cfg.data.batch_size * tg3) // 256) * 256
-            budget = min(budget, cfg.data.batch_size * tg3)
+            budget = tile_budget(frac, cfg.data.batch_size, tg3)
             rows, row_ids, _ = windowed_compact_on_host(
                 host.pop("voxel_flat"), host.pop("voxel_rgb"),
                 cfg.data.voxel_size, budget, halo=halo,

@@ -404,3 +404,106 @@ class TestWindowedTransfer:
         variables = model.init(jax.random.PRNGKey(0), dev)
         out = model.apply(variables, dev)
         assert out["voxel_features"].shape == (cfg.data.batch_size, 512)
+
+
+class TestBudgetCanary:
+    """The trainer's truncation canary (Trainer._check_tile_budget) must
+    cover every path where the static budget silently drops tiles on
+    device: the dense tile_sparse plan AND the windowed transfer — whose
+    encoder runs tile-sparse regardless of the tile_sparse flag."""
+
+    def _stub(self, overrides):
+        from tricolo_tpu.config import load_config
+        from tricolo_tpu.training.trainer import Trainer
+
+        cfg = load_config(
+            [
+                "data=synthetic",
+                "model.voxel_encoder=VoxelCNNEncoder",
+                "data.batch_size=2",
+                *overrides,
+            ]
+        )
+
+        class Stub:
+            pass
+
+        stub = Stub()
+        stub.cfg = cfg
+        return lambda batch: Trainer._check_tile_budget(stub, batch)
+
+    def _batch_spanning_tiles(self, n_tiles, D=64):
+        """Packed host batch (B=2) whose sample 0 touches n_tiles distinct
+        8³ tiles (one site each)."""
+        from tricolo_tpu.data.device_prep import pack_sparse_voxels
+
+        tg = D // 8
+        tids = np.arange(n_tiles)
+        coords = np.stack(
+            [(tids // (tg * tg)) * 8, ((tids // tg) % tg) * 8, (tids % tg) * 8],
+            axis=1,
+        ).astype(np.uint8)
+        feats = np.full((n_tiles, 3), 7, np.uint8)
+        flat = np.empty((2, n_tiles), np.uint32)
+        rgb = np.empty((2, n_tiles), np.uint32)
+        flat[0], rgb[0] = pack_sparse_voxels(coords, feats, n_tiles)
+        flat[1], rgb[1] = pack_sparse_voxels(coords[:1], feats[:1], n_tiles)
+        return {"voxel_flat": flat, "voxel_rgb": rgb}
+
+    def test_warns_for_windowed_without_tile_sparse(self):
+        # budget = ceil(0.1·2·512/256)·256 = 256 < 301 active tiles
+        check = self._stub(
+            [
+                "data.voxel_size=64",
+                "data.voxel_transfer=windowed",
+                "model.modules.VoxelCNNEncoder.tile_sparse=false",
+                "model.modules.VoxelCNNEncoder.tile_budget_frac=0.1",
+            ]
+        )
+        with pytest.warns(UserWarning, match="tile_sparse budget"):
+            check(self._batch_spanning_tiles(300))
+
+    def test_budget_clamps_to_physical_tile_count(self):
+        # B=2 at 32³: batch·tg³ = 128 < the 256 rounding floor — the canary
+        # must compare against the clamped budget (128), not 256.
+        check = self._stub(
+            [
+                "data.voxel_size=32",
+                "model.modules.VoxelCNNEncoder.tile_sparse=true",
+                "model.modules.VoxelCNNEncoder.tile_budget_frac=1.0",
+            ]
+        )
+        from tricolo_tpu.data.device_prep import pack_sparse_voxels
+
+        # 60 tiles in sample 0 + 60 in sample 1 = 120 ≤ 128: no warning.
+        # (tile ids 0..59 of the 64-tile grid, one site each)
+        tg = 4
+        tids = np.arange(60)
+        coords = np.stack(
+            [(tids // (tg * tg)) * 8, ((tids // tg) % tg) * 8, (tids % tg) * 8],
+            axis=1,
+        ).astype(np.uint8)
+        feats = np.full((60, 3), 7, np.uint8)
+        flat = np.empty((2, 60), np.uint32)
+        rgb = np.empty((2, 60), np.uint32)
+        for i in range(2):
+            flat[i], rgb[i] = pack_sparse_voxels(coords, feats, 60)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            check({"voxel_flat": flat, "voxel_rgb": rgb})
+
+    def test_no_warning_when_disabled(self):
+        check = self._stub(
+            [
+                "data.voxel_transfer=packed",
+                "model.modules.VoxelCNNEncoder.tile_sparse=false",
+                "model.modules.VoxelCNNEncoder.tile_budget_frac=0.01",
+            ]
+        )
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            check(self._batch_spanning_tiles(300))

@@ -118,13 +118,16 @@ def default_config() -> ConfigNode:
                         "ef_dim": 32,
                         "z_dim": 512,
                         "out_dim": "${model.out_dim}",
-                        # "auto"/false: the default hybrid XLA path (pure
-                        # XLA forward; hand-derived backward with BN param
+                        # "auto": the default hybrid XLA path (pure XLA
+                        # forward; hand-derived backward with BN param
                         # grads reduced at pooled resolution — measurably
-                        # the fastest end-to-end, PERF.md). true: opt-in
-                        # fused Pallas forward/backward kernels (exact, but
+                        # the fastest end-to-end, PERF.md). false: the
+                        # plain composed XLA chain. true: opt-in fused
+                        # Pallas forward/backward kernels (exact, but
                         # slower end-to-end since they break XLA's
-                        # conv-epilogue fusions).
+                        # conv-epilogue fusions); under masked_bn no
+                        # Pallas masked kernel exists, so true falls back
+                        # to the composed masked path.
                         "fused_bn_pool": "auto",
                         # Submanifold-faithful BN (spconv semantics):
                         # statistics over occupied sites only, inactive

@@ -99,9 +99,10 @@ def collate(
             batch["voxel_windows"] = windows
             batch["voxel_tile_occ"] = occ
         elif voxel_transfer == "windowed_compact":
+            from ..ops.tile_sparse import tile_budget
+
             tg3 = (voxel_size // 8) ** 3
-            budget = -(-int(tile_budget_frac * batch_size * tg3) // 256) * 256
-            budget = min(budget, batch_size * tg3)
+            budget = tile_budget(tile_budget_frac, batch_size, tg3)
             rows, row_ids, total = windowed_compact_on_host(
                 flat, rgb, voxel_size, budget, halo=windowed_halo
             )

@@ -139,13 +139,16 @@ class BNReLUPool(nn.Module):
         if train:
             if mask is not None:
                 # Submanifold-faithful mode: statistics over occupied sites
-                # only, inactive sites hard-zeroed. Default (None) is the
-                # hybrid hand-derived backward (pooled-resolution BN param
-                # grads); use_fused=False selects the plain composition.
+                # only, inactive sites hard-zeroed. Default (None/"auto") is
+                # the hybrid hand-derived backward (pooled-resolution BN
+                # param grads); True or False select the plain composition —
+                # no Pallas masked kernel exists, so the True "Pallas study"
+                # knob falls back to the composed reference path rather than
+                # silently aliasing the hybrid.
                 op = (
-                    masked_bn_relu_pool
-                    if self.use_fused is False
-                    else masked_hybrid_bn_relu_pool
+                    masked_hybrid_bn_relu_pool
+                    if self.use_fused is None
+                    else masked_bn_relu_pool
                 )
                 pooled, mean, var, out_mask = op(
                     x, scale, bias, mask, self.epsilon
@@ -331,15 +334,14 @@ class VoxelCNNEncoder(nn.Module):
         n_sparse = 0
         ids = None
         if use_sparse:
-            from ..ops.tile_sparse import active_tile_ids
+            from ..ops.tile_sparse import active_tile_ids, tile_budget
 
             tile0 = 8
             # sparse while the block's OUTPUT tile is still ≥ 1 voxel
             n_sparse = min(self.tile_sparse_blocks, 3, len(channels))
             batch = x.shape[0]
             tg3 = (self.voxel_size // tile0) ** 3
-            budget = -(-int(self.tile_budget_frac * batch * tg3) // 256) * 256
-            budget = min(budget, batch * tg3)
+            budget = tile_budget(self.tile_budget_frac, batch, tg3)
             ids = active_tile_ids(mask, tile0, budget)
 
         grid = self.voxel_size
@@ -425,10 +427,11 @@ class VoxelCNNEncoder(nn.Module):
             ids = row_ids
             rows = windows  # host-compacted: padding rows are already zero
         else:
+            from ..ops.tile_sparse import tile_budget
+
             n_rows = windows.shape[0]
             batch = n_rows // tg3
-            budget = -(-int(self.tile_budget_frac * batch * tg3) // 256) * 256
-            budget = min(budget, batch * tg3)
+            budget = tile_budget(self.tile_budget_frac, batch, tg3)
 
             (ids,) = jnp.nonzero(tile_occ > 0, size=budget, fill_value=n_rows)
             ids = ids.astype(jnp.int32)

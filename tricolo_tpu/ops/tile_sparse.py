@@ -80,6 +80,20 @@ def tile_counts(mask: jax.Array, tile: int) -> jax.Array:
     return jnp.sum(jnp.any(tiled > 0, axis=(2, 4, 6)), axis=(1, 2, 3))
 
 
+def tile_budget(frac: float, batch: int, tg3: int) -> int:
+    """The static active-tile budget: ceil(frac·batch·tg3 / 256)·256,
+    clamped to the physical tile count.
+
+    Every producer and consumer of windowed/tile-sparse rows — host collate
+    (data/loader.py), the encoder (models/voxel_cnn.py), the trainer's
+    truncation canary (training/trainer.py) and bench.py — must derive the
+    SAME number or host-shipped row counts stop matching the encoder's
+    static shapes; this helper is the single definition.
+    """
+    budget = -(-int(frac * batch * tg3) // 256) * 256
+    return min(budget, batch * tg3)
+
+
 def active_tile_ids(mask: jax.Array, tile: int, budget: int) -> jax.Array:
     """Sorted ids of tiles containing ≥1 active site.
 

@@ -102,10 +102,17 @@ class Trainer:
         budget (ops/tile_sparse.py); one real batch's exact tile count is
         a cheap canary for a budget that will truncate."""
         voxel_cfg = self.cfg.model.modules.VoxelCNNEncoder
-        if not (
-            voxel_cfg.get("tile_sparse", False)
-            and voxel_cfg.get("masked_bn", False)
-        ):
+        # The budget truncates on every path that consumes it: the dense
+        # tile_sparse plan AND the windowed transfers (whose encoder runs
+        # tile-sparse regardless of the tile_sparse flag). windowed_compact
+        # truncates on the host — the collate warns there with the exact
+        # count — so the canary covers the remaining device-side cases.
+        windowed = str(self.cfg.data.get("voxel_transfer", "packed")).startswith(
+            "windowed"
+        )
+        if not voxel_cfg.get("masked_bn", False):
+            return
+        if not (voxel_cfg.get("tile_sparse", False) or windowed):
             return
         voxel_size = self.cfg.data.voxel_size
         tg3 = (voxel_size // 8) ** 3
@@ -119,8 +126,10 @@ class Trainer:
             need = host_tile_count(sample_batch["voxel_flat"], voxel_size)
         else:
             return
+        from ..ops.tile_sparse import tile_budget
+
         frac = float(voxel_cfg.get("tile_budget_frac", 0.5))
-        budget = -(-int(frac * batch * tg3) // 256) * 256
+        budget = tile_budget(frac, batch, tg3)
         if need > budget:
             import warnings
 
