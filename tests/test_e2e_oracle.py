@@ -334,9 +334,13 @@ class TorchMVCNN(torch.nn.Module):
         return F.normalize(self.mlp(self.fc(pooled)), dim=1)
 
 
-def test_tri_train_steps_match_torch():
+@pytest.mark.parametrize("masked", [False, True])
+def test_tri_train_steps_match_torch(masked):
     """Full flagship Tri(I+V): BiGRU + MVCNN/ResNet18 + VoxelCNN through the
-    real train step vs the composed torch reference, loss-for-loss."""
+    real train step vs the composed torch reference, loss-for-loss — under
+    both voxel-BN semantics: dense all-site statistics (masked=False) and
+    the spconv-faithful submanifold semantics (masked=True, the config
+    default — the trimodal composition of TorchMaskedVoxelCNN)."""
     VIEWS, IMG = 2, 32
     cfg = load_config(
         [
@@ -345,7 +349,7 @@ def test_tri_train_steps_match_torch():
             "model.image_encoder=MVCNNEncoder",
             f"model.out_dim={OUT}",
             f"model.modules.VoxelCNNEncoder.ef_dim={EF}",
-            "model.modules.VoxelCNNEncoder.masked_bn=false",  # the oracle pins the dense path
+            f"model.modules.VoxelCNNEncoder.masked_bn={str(masked).lower()}",
             f"model.modules.VoxelCNNEncoder.z_dim={Z}",
             f"model.modules.MVCNNEncoder.z_dim={Z}",
             f"data.vocab_size={VOCAB}",
@@ -364,10 +368,11 @@ def test_tri_train_steps_match_torch():
     batch = {k: jnp.asarray(v) for k, v in host.items()}
 
     torch.manual_seed(0)
-    tt, tv, ti = TorchBiGRU(), TorchVoxelCNN(), TorchMVCNN(VIEWS)
+    tt, ti = TorchBiGRU(), TorchMVCNN(VIEWS)
+    tv = TorchMaskedVoxelCNN() if masked else TorchVoxelCNN()
 
     model = TriCoLoNet.from_config(cfg)
-    device_batch = prepare_device_batch(batch, VOX)
+    device_batch = prepare_device_batch(batch, VOX, voxel_mask=masked)
     variables = model.init(jax.random.PRNGKey(0), device_batch)
     variables = _transplant(variables, tt, tv)
 
@@ -395,7 +400,12 @@ def test_tri_train_steps_match_torch():
     }
 
     dense = np.asarray(device_batch["voxels"])
-    t_vox = torch.from_numpy(dense.transpose(0, 4, 1, 2, 3).copy())
+    t_vox = torch.from_numpy(dense[..., :3].transpose(0, 4, 1, 2, 3).copy())
+    t_mask = (
+        torch.from_numpy(dense[..., 3:].transpose(0, 4, 1, 2, 3).copy())
+        if masked
+        else None
+    )
     t_tok = torch.from_numpy(host["tokens"].astype(np.int64))
     imgs = np.asarray(device_batch["images"])  # (B, V, H, W, 3) normalized
     t_img = torch.from_numpy(
@@ -421,7 +431,8 @@ def test_tri_train_steps_match_torch():
     tols = (5e-4, 2e-3, 8e-3)
     for step in range(3):
         opt.zero_grad()
-        f_t, f_i, f_v = tt(t_tok), ti(t_img), tv(t_vox)
+        f_t, f_i = tt(t_tok), ti(t_img)
+        f_v = tv(t_vox, t_mask) if masked else tv(t_vox)
         # Sum of pairwise losses in feature-dict order text→image→voxel
         # (reference tricolo_net.py:56-65).
         t_loss = (
