@@ -25,15 +25,26 @@ import sys
 
 
 def _host_cpu_features() -> str:
-    """The CPU feature-flag line for processor 0 (best available proxy for
-    XLA's "machine features"); falls back to platform identifiers."""
+    """The CPU model + feature-flag lines for processor 0 (best available
+    proxy for XLA's "machine features"); falls back to platform identifiers.
+
+    The model name is included as well as the flags: XLA's AOT machine
+    features carry model-derived *tuning* choices (+prefer-no-scatter /
+    +prefer-no-gather on some Xeon models) that two hosts with identical
+    feature flags can still disagree on.
+    """
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):  # x86 / arm
-                    return line.strip()
+                if line.startswith(("model name", "flags", "Features")):
+                    parts.append(line.strip())
+                if len(parts) == 2:
+                    return " | ".join(parts)
     except OSError:
         pass
+    if parts:
+        return " | ".join(parts)
     import platform
 
     return f"{platform.machine()} {platform.processor()}"
