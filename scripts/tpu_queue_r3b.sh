@@ -11,6 +11,12 @@ mkdir -p /tmp/r3b
   timeout 1200 python bench.py 2>&1 | tail -3
   echo "=== s2d_stem $(date -u)"
   timeout 1200 python bench.py --override model.modules.MVCNNEncoder.s2d_stem=true 2>&1 | tail -3
+  echo "=== pool-grad ROUTING=compare $(date -u)"
+  timeout 1200 python -c "
+import tricolo_tpu.ops.fused_bn_pool as fbp, sys
+fbp.ROUTING = 'compare'
+sys.argv = ['bench.py']
+import bench; bench.main()" 2>&1 | tail -3
   echo "=== control rerun $(date -u)"
   timeout 1200 python bench.py 2>&1 | tail -3
   echo "=== 128c windowed retry (LAST, may kill tunnel) $(date -u)"

@@ -337,6 +337,10 @@ class TestTrainerEndToEnd:
             (
                 "model.text_encoder=CLIPTextEncoder",
                 "model.image_encoder=CLIPImageEncoder",
+                # Async writer under a real fit: epoch-0's save drains in the
+                # background while epoch-1's donating train steps run — the
+                # device-side snapshot must keep the write donation-safe.
+                "checkpoint_monitor.async_save=true",
             ),
         )
         trainer = Trainer(cfg)

@@ -56,6 +56,11 @@ def default_config() -> ConfigNode:
                 "mode": "max",
                 "save_last": False,
                 "save_top_k": 3,
+                # Beyond the reference: true = save on a background writer
+                # thread (device-side snapshot, ordered filesystem effects)
+                # so the epoch loop never blocks on the ~8 s/save D2H.
+                # Identical on-disk results; fit() flushes before returning.
+                "async_save": False,
                 "every_n_epochs": "${trainer.check_val_every_n_epoch}",
                 "dirpath": "${experiment_output_path}/training",
             },

@@ -10,7 +10,13 @@ a JSONL (optionally WandB) metric stream.
 from .optim import lr_for_epoch, make_optimizer
 from .state import TrainState
 from .steps import make_eval_step, make_train_step
-from .checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
+from .checkpoint import (
+    AsyncCheckpointWriter,
+    CheckpointManager,
+    load_checkpoint,
+    save_checkpoint,
+    snapshot_state,
+)
 from .logger import MetricsLogger
 from .trainer import Trainer
 
@@ -22,7 +28,9 @@ __all__ = [
     "make_optimizer",
     "lr_for_epoch",
     "CheckpointManager",
+    "AsyncCheckpointWriter",
     "save_checkpoint",
     "load_checkpoint",
+    "snapshot_state",
     "MetricsLogger",
 ]

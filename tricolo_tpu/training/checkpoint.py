@@ -16,11 +16,85 @@ from __future__ import annotations
 
 import json
 import os
+import queue
+import threading
 
 
 import jax
 import numpy as np
 from flax import serialization
+
+
+def snapshot_state(state):
+    """Device-side copy of a train state for async saving.
+
+    Train steps DONATE their input state buffers, so a background thread
+    must never read the live state: the next step would delete those
+    buffers mid-transfer. An on-device ``jnp.copy`` of every leaf is a
+    cheap HBM→HBM pass (~180 MB for the flagship params+moments) after
+    which the original can be donated freely; the worker thread fetches
+    the copy at its leisure.
+    """
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.copy, state)
+
+
+class AsyncCheckpointWriter:
+    """Single ordered worker thread for checkpoint filesystem effects.
+
+    Role parity with orbax's AsyncCheckpointer, without the daemon: the
+    training loop enqueues closures (serialize+write, stale-file removal,
+    index update) and continues immediately; the worker executes them in
+    submission order, so top-k retention semantics are identical to the
+    synchronous path. The device→host transfer — ~8 s/save over the
+    tunneled runtime (PERF.md "Checkpoint D2H") — happens on the worker.
+
+    Exceptions are captured and re-raised on the *next* submit() or
+    wait(), so a full disk or unwritable dir fails the run rather than
+    silently dropping checkpoints.
+    """
+
+    def __init__(self):
+        self._queue: queue.Queue = queue.Queue()
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(
+            target=self._run, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            fn = self._queue.get()
+            if fn is None:
+                self._queue.task_done()
+                return
+            try:
+                if self._error is None:
+                    fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised on submit/wait
+                self._error = e
+            finally:
+                self._queue.task_done()
+
+    def _check(self):
+        if self._error is not None:
+            error, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from error
+
+    def submit(self, fn):
+        self._check()
+        self._queue.put(fn)
+
+    def wait(self):
+        """Block until every submitted write has completed; re-raise errors."""
+        self._queue.join()
+        self._check()
+
+    def close(self):
+        self.wait()
+        self._queue.put(None)
+        self._thread.join()
 
 
 def save_checkpoint(path: str, state, epoch: int, extra: dict | None = None):
@@ -203,12 +277,14 @@ class CheckpointManager:
         mode: str = "max",
         save_top_k: int = 3,
         save_last: bool = False,
+        writer: AsyncCheckpointWriter | None = None,
     ):
         self.dirpath = dirpath
         self.monitor = monitor
         self.mode = mode
         self.save_top_k = save_top_k
         self.save_last = save_last
+        self.writer = writer
         self._index_path = os.path.join(dirpath, "checkpoints.json")
         self._entries: list[dict] = []
         if os.path.exists(self._index_path):
@@ -218,6 +294,23 @@ class CheckpointManager:
     def _better(self, a: float, b: float) -> bool:
         return a > b if self.mode == "max" else a < b
 
+    def _effect(self, fn):
+        """Run a filesystem effect inline, or enqueue it on the writer.
+
+        Retention *decisions* are always made synchronously from host-side
+        scores; only the effects (serialize+write, delete, index write) are
+        deferred, in submission order, so async and sync runs produce an
+        identical checkpoint directory."""
+        if self.writer is None:
+            fn()
+        else:
+            self.writer.submit(fn)
+
+    def wait(self):
+        """Flush pending async writes (no-op for the synchronous manager)."""
+        if self.writer is not None:
+            self.writer.wait()
+
     def save(self, state, epoch: int, metrics: dict[str, float]) -> str | None:
         """Save if the monitored score makes the top-k; returns path or None.
 
@@ -225,12 +318,13 @@ class CheckpointManager:
         all; save_last=True additionally maintains a ``last.ckpt`` outside
         the top-k set, overwritten at every save opportunity (ModelCheckpoint
         save_last, reference config.yaml:42)."""
+        snap = snapshot_state(state) if self.writer is not None else state
         if self.save_last:
-            save_checkpoint(
-                os.path.join(self.dirpath, "last.ckpt"),
-                state,
-                epoch,
-                extra={"metrics": metrics},
+            last_path = os.path.join(self.dirpath, "last.ckpt")
+            self._effect(
+                lambda: save_checkpoint(
+                    last_path, snap, epoch, extra={"metrics": metrics}
+                )
             )
         if self.save_top_k == 0:
             return None
@@ -248,20 +342,32 @@ class CheckpointManager:
                 return None
 
         path = os.path.join(self.dirpath, f"epoch={epoch}.ckpt")
-        save_checkpoint(path, state, epoch, extra={"metrics": metrics})
+        self._effect(
+            lambda: save_checkpoint(path, snap, epoch, extra={"metrics": metrics})
+        )
         self._entries = [e for e in self._entries if e["path"] != path]
         self._entries.append({"path": path, "score": score, "epoch": epoch})
 
         # Keep entries sorted best-first so best_path is right in every mode.
         self._entries.sort(key=lambda e: e["score"], reverse=self.mode == "max")
         if self.save_top_k > 0:
-            for stale in self._entries[self.save_top_k :]:
-                if os.path.exists(stale["path"]):
-                    os.remove(stale["path"])
+            stale_paths = [e["path"] for e in self._entries[self.save_top_k :]]
+
+            def _prune(paths=stale_paths):
+                for stale in paths:
+                    if os.path.exists(stale):
+                        os.remove(stale)
+
+            self._effect(_prune)
             self._entries = self._entries[: self.save_top_k]
 
-        with open(self._index_path, "w") as f:
-            json.dump({"monitor": self.monitor, "entries": self._entries}, f, indent=2)
+        index_payload = {"monitor": self.monitor, "entries": list(self._entries)}
+
+        def _write_index(payload=index_payload):
+            with open(self._index_path, "w") as f:
+                json.dump(payload, f, indent=2)
+
+        self._effect(_write_index)
         return path
 
     @property

@@ -26,6 +26,7 @@ from ..models.tricolo_net import TriCoLoNet
 from ..parallel import make_mesh, shard_batch
 from ..evaluation import compute_metrics, compute_metrics_on_device, write_nearest_info
 from .checkpoint import (
+    AsyncCheckpointWriter,
     CheckpointManager,
     adapt_opt_state_format,
     load_checkpoint,
@@ -219,12 +220,24 @@ class Trainer:
 
         logger = MetricsLogger(cfg)
         ckpt_dir = cfg.checkpoint_monitor.dirpath
+        # async_save=true moves the device→host transfer + serialization +
+        # file writes onto an ordered worker thread (AsyncCheckpointWriter):
+        # the epoch loop only pays a device-side state copy (donation-safe)
+        # and continues training while the ~8 s/save D2H (PERF.md
+        # "Checkpoint D2H") drains in the background. fit() flushes the
+        # writer before returning, so on-disk results are identical.
+        writer = (
+            AsyncCheckpointWriter()
+            if bool(cfg.checkpoint_monitor.get("async_save", False))
+            else None
+        )
         manager = CheckpointManager(
             ckpt_dir,
             monitor=cfg.checkpoint_monitor.monitor,
             mode=cfg.checkpoint_monitor.mode,
             save_top_k=cfg.checkpoint_monitor.save_top_k,
             save_last=bool(cfg.checkpoint_monitor.get("save_last", False)),
+            writer=writer,
         )
 
         if resume_ckpt is not None:
@@ -249,6 +262,13 @@ class Trainer:
                 state, cfg, train_loader, val_loader, logger, manager,
                 start_epoch, dropout_rng, log_every, val_every, global_step,
             )
+
+        tic = time.perf_counter()
+        manager.wait()  # flush async checkpoint writes before handing off
+        if writer is not None:
+            writer.close()
+            manager.writer = None  # later caller-side saves run synchronously
+        self._timers["checkpoint"] += time.perf_counter() - tic
 
         if cfg.trainer.profiler == "simple":
             total = sum(self._timers.values()) or 1.0
