@@ -46,6 +46,39 @@ class TestTileOps:
         back = scatter_tiles(tiles, ids, B, D)
         np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
+    @pytest.mark.parametrize(
+        "tile,C,grid",
+        [
+            (2, 64, 16),  # flagship halo-3 handoff: 4 scatters of 128-elem lines
+            (4, 32, 32),  # halo-1 handoff: 16 scatters of 128-elem lines
+            (2, 1, 16),  # mask scatter: t·C < 128 → transpose fallback
+        ],
+    )
+    def test_scatter_lines_layout_matches_transpose(self, tile, C, grid):
+        """The NDHWC line-segment scatter is bit-exact vs the transpose
+        layout — values AND custom-VJP gradients — including padding ids."""
+        rng = np.random.default_rng(2)
+        batch = 2
+        tg = grid // tile
+        n_rows = batch * tg**3
+        T = 12  # 9 active + 3 padding rows
+        active = np.sort(rng.choice(n_rows, size=9, replace=False)).astype(np.int32)
+        ids = jnp.asarray(np.concatenate([active, np.full(3, n_rows, np.int32)]))
+        tiles = jnp.asarray(rng.random((T, tile, tile, tile, C)).astype(np.float32))
+
+        ref = scatter_tiles(tiles, ids, batch, grid, layout="transpose")
+        out = scatter_tiles(tiles, ids, batch, grid, layout="lines")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+        cot = jnp.asarray(rng.random(ref.shape).astype(np.float32))
+        g_ref = jax.grad(
+            lambda t: (scatter_tiles(t, ids, batch, grid, layout="transpose") * cot).sum()
+        )(tiles)
+        g_out = jax.grad(
+            lambda t: (scatter_tiles(t, ids, batch, grid, layout="lines") * cot).sum()
+        )(tiles)
+        np.testing.assert_array_equal(np.asarray(g_out), np.asarray(g_ref))
+
     def test_halo_gather_matches_slices(self):
         rng = np.random.default_rng(1)
         B, D, C, tile = 1, 16, 2, 4

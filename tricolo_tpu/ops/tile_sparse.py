@@ -238,17 +238,44 @@ def _gather_bwd(tile, halo, batch, grid, channels, residuals, dy):
 _gather_tiles.defvjp(_gather_fwd, _gather_bwd)
 
 
+# Layout used by scatter_tiles when the caller doesn't pass one. A module
+# global (like fused_bn_pool.ROUTING) so perf A/Bs can flip it without
+# config plumbing; change the default only with an end-to-end bench.
+#   "transpose": set-scatter into tile-major rows + free-form transpose to
+#     NDHWC (the round-3 measured pick at block-1 scale).
+#   "lines": scatter directly into NDHWC line segments — no transpose pass
+#     (the trace's reshape pair runs at ~3× its bandwidth floor).
+SCATTER_LAYOUT = "transpose"
+
+
 def scatter_tiles(
-    tiles: jax.Array, ids: jax.Array, batch: int, grid: int
+    tiles: jax.Array,
+    ids: jax.Array,
+    batch: int,
+    grid: int,
+    layout: str | None = None,
 ) -> jax.Array:
     """(T, t, t, t, C) disjoint tiles → dense (B, grid, grid, grid, C),
-    zeros background.
+    zeros background. Padding ids (≥ B·tg³) are dropped.
 
-    Tiled-layout set-scatter: each tile is one contiguous row of a
-    (B·tg³ + T, t³·C) buffer, written with sorted+unique index promises
-    (ascending active ids; per-tile trash rows for padding), then a free
-    transpose to NDHWC. The autodiff VJP is the corresponding row-gather.
+    Two exact layouts (``layout`` or the module SCATTER_LAYOUT global):
+
+    * "transpose": each tile is one contiguous row of a (B·tg³ + T, t³·C)
+      buffer, written with sorted+unique index promises (ascending active
+      ids; per-tile trash rows for padding), then a free-form transpose to
+      NDHWC. The autodiff VJP is the corresponding row-gather.
+    * "lines": in NDHWC a tile occupies t² contiguous line segments of
+      t·C elements (full W-extent of the tile × channels) — at the
+      flagship shapes t·C = 2·64 = 4·32 = 128, exactly one vreg lane row.
+      For fixed intra-tile (dz, hy) the segment index is monotonic in the
+      tile id, so t² sorted+unique row-scatters build the NDHWC buffer
+      with NO transpose pass. Falls back to "transpose" when t·C < 128
+      (sub-lane rows are the measured scatter pathology — module header).
     """
+    if layout is None:
+        layout = SCATTER_LAYOUT
+    if layout == "lines" and tiles.shape[1] * tiles.shape[-1] >= 128:
+        return _scatter_tiles_lines(tiles, ids, batch, grid)
     T, tile = tiles.shape[0], tiles.shape[1]
     C = tiles.shape[-1]
     tg = grid // tile
@@ -262,3 +289,68 @@ def scatter_tiles(
     return jnp.transpose(t8, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
         batch, grid, grid, grid, C
     )
+
+
+def _line_ids(ids: jax.Array, tile: int, tg: int, grid: int):
+    """Decompose ascending tile ids into per-(dz, hy) NDHWC line-segment
+    ids. For fixed (dz, hy): line = ((b·grid + t·tz + dz)·grid + t·ty +
+    hy)·tg + tx, monotonic in id = ((b·tg + tz)·tg + ty)·tg + tx because
+    each coefficient dominates the maximum of the lower-order terms
+    (tile·tg = grid ≥ tg)."""
+    tx = ids % tg
+    r = ids // tg
+    ty = r % tg
+    r = r // tg
+    tz = r % tg
+    b = r // tg
+    return b, tz, ty, tx
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _scatter_tiles_lines(tiles, ids, batch, grid):
+    out, _ = _lines_fwd(tiles, ids, batch, grid)
+    return out
+
+
+def _lines_fwd(tiles, ids, batch, grid):
+    T, tile = tiles.shape[0], tiles.shape[1]
+    C = tiles.shape[-1]
+    tg = grid // tile
+    n_rows = batch * tg**3
+    n_lines = batch * grid * grid * tg
+    b, tz, ty, tx = _line_ids(ids, tile, tg, grid)
+    valid = ids < n_rows
+    trash = n_lines + jnp.arange(T, dtype=ids.dtype)
+    src = tiles.reshape(T, tile, tile, tile * C)
+    buf = jnp.zeros((n_lines + T, tile * C), tiles.dtype)
+    for dz in range(tile):
+        for hy in range(tile):
+            line = ((b * grid + tile * tz + dz) * grid + tile * ty + hy) * tg + tx
+            line = jnp.where(valid, line, trash)
+            buf = buf.at[line].set(
+                src[:, dz, hy], indices_are_sorted=True, unique_indices=True
+            )
+    out = buf[:n_lines].reshape(batch, grid, grid, grid, C)
+    return out, (ids, tiles.shape)
+
+
+def _lines_bwd(batch, grid, residuals, dy):
+    ids, tiles_shape = residuals
+    T, tile = tiles_shape[0], tiles_shape[1]
+    C = tiles_shape[-1]
+    tg = grid // tile
+    n_rows = batch * tg**3
+    n_lines = batch * grid * grid * tg
+    lines = dy.reshape(n_lines, tile * C)
+    b, tz, ty, tx = _line_ids(ids, tile, tg, grid)
+    valid = ids < n_rows
+    parts = []
+    for dz in range(tile):
+        for hy in range(tile):
+            line = ((b * grid + tile * tz + dz) * grid + tile * ty + hy) * tg + tx
+            parts.append(_take_rows(lines, jnp.where(valid, line, n_lines), n_lines))
+    d_tiles = jnp.stack(parts, axis=1).reshape(tiles_shape)
+    return d_tiles, None
+
+
+_scatter_tiles_lines.defvjp(_lines_fwd, _lines_bwd)
