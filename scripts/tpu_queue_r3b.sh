@@ -17,12 +17,8 @@ import tricolo_tpu.ops.fused_bn_pool as fbp, sys
 fbp.ROUTING = 'compare'
 sys.argv = ['bench.py']
 import bench; bench.main()" 2>&1 | tail -3
-  echo "=== scatter SCATTER_LAYOUT=lines $(date -u)"
-  timeout 1200 python -c "
-import tricolo_tpu.ops.tile_sparse as ts, sys
-ts.SCATTER_LAYOUT = 'lines'
-sys.argv = ['bench.py']
-import bench; bench.main()" 2>&1 | tail -3
+  echo "=== scatter_layout=lines $(date -u)"
+  timeout 1200 python bench.py --override model.modules.VoxelCNNEncoder.scatter_layout=lines 2>&1 | tail -3
   echo "=== control rerun $(date -u)"
   timeout 1200 python bench.py 2>&1 | tail -3
   echo "=== 128c dense recipe (batch 32, remat) $(date -u)"

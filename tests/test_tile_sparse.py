@@ -156,6 +156,34 @@ class TestTileSparseEncoder:
                 np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
             )
 
+    def test_scatter_layout_lines_matches_transpose(self):
+        """Encoder-level: scatter_layout="lines" is bit-exact vs
+        "transpose" (fwd + grads). ef_dim=16 so t·C ≥ 128 at both sparse
+        blocks and the lines layout actually engages (smaller products
+        fall back to transpose by design)."""
+        rng = np.random.default_rng(7)
+        vox = _solid_input(rng)
+        kw = dict(
+            voxel_size=32, ef_dim=16, z_dim=32, out_dim=16,
+            masked_bn=True, tile_sparse=True, tile_sparse_blocks=2,
+            tile_budget_frac=0.9,
+        )
+        enc_t = VoxelCNNEncoder(**kw, scatter_layout="transpose")
+        enc_l = VoxelCNNEncoder(**kw, scatter_layout="lines")
+        variables = enc_t.init(jax.random.PRNGKey(0), vox, True)
+
+        def loss(v, model):
+            out, _ = model.apply(v, vox, True, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        out_t = enc_t.apply(variables, vox, True, mutable=["batch_stats"])[0]
+        out_l = enc_l.apply(variables, vox, True, mutable=["batch_stats"])[0]
+        np.testing.assert_array_equal(np.asarray(out_l), np.asarray(out_t))
+        gt = jax.grad(lambda v: loss(v, enc_t))(variables)
+        gl = jax.grad(lambda v: loss(v, enc_l))(variables)
+        for a, b in zip(jax.tree.leaves(gt), jax.tree.leaves(gl)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_eval_mode_matches(self):
         rng = np.random.default_rng(3)
         vox = _solid_input(rng)

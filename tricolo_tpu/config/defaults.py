@@ -154,6 +154,12 @@ def default_config() -> ConfigNode:
                         "tile_sparse": False,
                         "tile_sparse_blocks": 2,
                         "tile_budget_frac": 0.5,
+                        # Tile→grid handoff layout: "transpose" (tile-
+                        # major rows + transpose) or "lines" (direct
+                        # NDHWC line-segment scatter, no transpose
+                        # pass). Exact either way; default chosen by
+                        # end-to-end bench (PERF.md round 3).
+                        "scatter_layout": "transpose",
                     },
                     "clip_model": "ViT-L/14",
                     "clip_feature_dim": 768,

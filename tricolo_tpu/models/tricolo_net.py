@@ -60,6 +60,8 @@ class TriCoLoNet(nn.Module):
     voxel_tile_sparse: bool = False
     voxel_tile_sparse_blocks: int = 2
     voxel_tile_budget_frac: float = 0.5
+    # Tile→grid handoff layout (None = ops/tile_sparse module default).
+    voxel_scatter_layout: str | None = None
     # Rematerialize the voxel stack in backward (precision.remat_voxel):
     # the 128³ memory plan — block-1 activations are (B,128³,32), 8× the
     # 64³ footprint, and recomputing them beats spilling at that size
@@ -110,6 +112,9 @@ class TriCoLoNet(nn.Module):
             ),
             voxel_tile_budget_frac=float(
                 modules.VoxelCNNEncoder.get("tile_budget_frac", 0.5)
+            ),
+            voxel_scatter_layout=modules.VoxelCNNEncoder.get(
+                "scatter_layout", None
             ),
             voxel_remat=bool(cfg.precision.get("remat_voxel", False)),
             clip_feature_dim=modules.clip_feature_dim,
@@ -178,6 +183,7 @@ class TriCoLoNet(nn.Module):
                 tile_sparse=self.voxel_tile_sparse,
                 tile_sparse_blocks=self.voxel_tile_sparse_blocks,
                 tile_budget_frac=self.voxel_tile_budget_frac,
+                scatter_layout=self.voxel_scatter_layout,
                 # compact windowed rows carry no batch axis; B is static
                 # from the token batch
                 windowed_batch=batch["tokens"].shape[0],

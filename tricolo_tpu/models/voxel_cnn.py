@@ -265,6 +265,11 @@ class VoxelCNNEncoder(nn.Module):
     tile_sparse: bool = False
     tile_sparse_blocks: int = 2
     tile_budget_frac: float = 0.5
+    # Tile→grid handoff layout (ops/tile_sparse.scatter_tiles):
+    # None = the module default (SCATTER_LAYOUT global), "transpose" =
+    # tile-major rows + transpose, "lines" = direct NDHWC line-segment
+    # scatter (no transpose pass). Exact either way (tested).
+    scatter_layout: str | None = None
     # Batch size for the COMPACT windowed input (voxel_transfer=
     # windowed_compact): the compacted rows carry no per-sample axis, so
     # the caller (TriCoLoNet) pins B here — it is static anyway.
@@ -365,8 +370,12 @@ class VoxelCNNEncoder(nn.Module):
                 m_t = gather_tiles(mask, ids, tile, halo=0)
                 x_t, m_t = block(x_t, train=train, mask=m_t)
                 batch = x.shape[0]
-                x = scatter_tiles(x_t, ids, batch, grid // 2)
-                mask = scatter_tiles(m_t, ids, batch, grid // 2)
+                x = scatter_tiles(
+                    x_t, ids, batch, grid // 2, layout=self.scatter_layout
+                )
+                mask = scatter_tiles(
+                    m_t, ids, batch, grid // 2, layout=self.scatter_layout
+                )
             elif mask is not None:
                 x, mask = block(x, train=train, mask=mask)
             else:
@@ -490,8 +499,8 @@ class VoxelCNNEncoder(nn.Module):
             )(x_t, train=train, mask=m2)
             n_dense_from = 2
             grid = self.voxel_size // 4
-        x = scatter_tiles(x_t, ids, batch, grid)
-        mask = scatter_tiles(m_t, ids, batch, grid)
+        x = scatter_tiles(x_t, ids, batch, grid, layout=self.scatter_layout)
+        mask = scatter_tiles(m_t, ids, batch, grid, layout=self.scatter_layout)
         for features in channels[n_dense_from:]:
             x, mask = ConvBlock(
                 features,
