@@ -96,7 +96,10 @@ class TestMVCNNIntegration:
         dm = DataModule(cfg)
         dm.setup("fit")
         batch = next(iter(dm.train_loader()))
-        mesh = make_mesh()
+        # 1-device mesh: this asserts the step runs with an EfficientNet
+        # backbone, not sharding (test_parallel owns that) — and the
+        # 8-virtual-device XLA:CPU mesh is 2-4x slower per step.
+        mesh = make_mesh(1)
         model = TriCoLoNet.from_config(cfg)
         tx = make_optimizer(cfg)
         dev = prepare_device_batch(

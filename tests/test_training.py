@@ -165,7 +165,11 @@ def tiny_setup():
     dm.setup("fit")
     loader = dm.train_loader()
     batch = next(iter(loader))
-    mesh = make_mesh()
+    # Single-device mesh: the tests on this fixture assert step/checkpoint
+    # semantics, not sharding (test_parallel owns that). The 8-virtual-
+    # device XLA:CPU mesh costs ~2-4x wall clock per step on small hosts
+    # (collective rendezvous across device threads).
+    mesh = make_mesh(1)
     model = TriCoLoNet.from_config(cfg)
     tx = make_optimizer(cfg)
     dev_batch = prepare_device_batch(
@@ -488,6 +492,10 @@ class TestResumeFidelity:
                     "trainer.profiler=none",
                     "checkpoint_monitor.save_top_k=-1",
                     "checkpoint_monitor.every_n_epochs=1",
+                    # Resume losslessness is mesh-independent (test_parallel
+                    # owns sharding); the 1-device mesh halves-or-better the
+                    # XLA:CPU wall clock of these three full fits.
+                    "parallel.data_parallel=1",
                     f"project_root_path={tmp_path}",
                     f"experiment_name={name}",
                 ]
