@@ -51,14 +51,22 @@ def main():
         type=int,
         default=64,
         help="voxel grid resolution (128 = the BASELINE.json C13/128³ "
-        "config; pair with --batch-size 32 on a 16 GB chip — block-1 "
-        "activations are 8× the 64³ footprint)",
+        "config; pair with --batch-size 32 on a 16 GB chip — the tile "
+        "rows are 8× the 64³ footprint at equal batch)",
     )
     ap.add_argument(
         "--batch-size",
         type=int,
         default=128,
         help="per-chip batch (reference recipe 128 at 64³; 32 at 128³)",
+    )
+    ap.add_argument(
+        "--n-points",
+        type=int,
+        default=None,
+        help="occupied voxel sites per sample (default: 8192 scaled by "
+        "(voxel_size/64)³; ~24.6k approximates the densest solid "
+        "ShapeNet voxelizations at 64³)",
     )
     ap.add_argument(
         "--override",
@@ -96,7 +104,7 @@ def main():
         cfg.model.image_encoder = None
     # Representative solid-voxel occupancy: ~8k occupied sites of 64³
     # (scaled 8× at 128³ — same solid fraction).
-    n_points = 8192 * (args.voxel_size**3) // (64**3)
+    n_points = args.n_points or 8192 * (args.voxel_size**3) // (64**3)
     # Deployment input path: the host materializes each 8³ tile's halo'd
     # window during prefetch (data.voxel_transfer=windowed) — H2D overlaps
     # with compute on real hosts — and the voxel encoder runs block 1
@@ -105,19 +113,20 @@ def main():
     # round-2 dense unmasked encoder (PERF.md round 3). The A100 estimate
     # likewise excludes the host-side collate.
     if not any(o.startswith("data.voxel_transfer") for o in args.override):
-        # 128³ keeps the round-3-proven dense-transfer recipe: the windowed
-        # program at 128³ (batch 32, remat, ~31k active 14³ rows) exceeded a
-        # 25-minute remote compile without finishing — unvalidated, not
-        # default. Override data.voxel_transfer to experiment.
-        cfg.data.voxel_transfer = (
-            "dense" if args.voxel_size >= 128 else "windowed_compact"
-        )
+        # windowed_compact at every size: the earlier "128³ windowed exceeds
+        # a 25-minute remote compile" observation was a tunnel outage, not
+        # the program (compile_diag.py: same ~0.8 MB StableHLO as 64³; the
+        # real-chip retry compiles in minutes and runs — PERF.md "128³").
+        # The dense-transfer 128³ recipe is no longer viable under the
+        # masked-BN default: XLA lays the (B,128³,32) block-1 activation out
+        # with C=32 in lanes (4× padding), so batch 32 wants 39.8 GB of
+        # 15.75 GB HBM even with remat.
+        cfg.data.voxel_transfer = "windowed_compact"
     if args.voxel_size >= 128 and not any(
         o.startswith("precision.remat_voxel") for o in args.override
     ):
-        # 128³ memory plan: block-1 activations alone are (B,128³,32) bf16
-        # = 134 MB·B/chip; batch 32 + rematerialized voxel stack fits a
-        # 16 GB v5e (see PERF.md "128³ configuration").
+        # 128³ memory plan: rematerialize the voxel stack (tile rows at
+        # ~31k×14³×4ch still dominate temp memory at this size).
         cfg.precision.remat_voxel = True
 
     host_batches = [_host_batch(cfg, n_points=n_points, seed=s) for s in range(2)]
