@@ -157,12 +157,12 @@ def main():
 
     from tricolo_tpu.data.device_prep import densify_on_host
 
-    # windowed halo follows the encoder's sparse depth (loader.DataModule
-    # applies the same rule): ≥2 sparse blocks need 14³ rows (halo 3).
-    halo = (
-        3
-        if int(cfg.model.modules.VoxelCNNEncoder.get("tile_sparse_blocks", 2)) >= 2
-        else 1
+    # windowed halo follows the encoder's sparse depth (single definition
+    # shared with loader.DataModule): ≥2 sparse blocks need 14³ rows.
+    from tricolo_tpu.ops.tile_sparse import windowed_halo
+
+    halo = windowed_halo(
+        cfg.model.modules.VoxelCNNEncoder.get("tile_sparse_blocks", 2)
     )
 
     def to_transfer(host: dict) -> dict:

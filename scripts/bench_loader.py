@@ -48,27 +48,19 @@ class _EllipsoidDataset:
     """
 
     def __init__(self, cfg, n_items: int, length: int, n_points: int):
-        from tricolo_tpu.data.device_prep import pack_sparse_voxels
+        # Shared "representative solid occupancy" definition — the same
+        # generator (incl. its overflow guard) bench.py's pre-staged
+        # batches use, so device-only and loader-included benches measure
+        # identical data.
+        from __graft_entry__ import ellipsoid_sample
 
         d = cfg.data
-        D = d.voxel_size
         rng = np.random.default_rng(0)
-        z, y, x = np.ogrid[0:D, 0:D, 0:D]
-        base_r = (n_points * 0.8 * 3.0 / (4.0 * np.pi)) ** (1.0 / 3.0)
         self.max_voxel_points = n_points
         self.length = length
         self.items = []
         for i in range(n_items):
-            c = rng.uniform(0.35 * D, 0.65 * D, 3)
-            r = base_r * rng.uniform(0.9, 1.1, 3)
-            m = (
-                ((z - c[0]) / r[0]) ** 2
-                + ((y - c[1]) / r[1]) ** 2
-                + ((x - c[2]) / r[2]) ** 2
-            ) <= 1.0
-            coords = np.argwhere(m).astype(np.uint8)
-            feats = rng.integers(0, 256, (len(coords), 3), dtype=np.uint8)
-            flat, rgb = pack_sparse_voxels(coords, feats, n_points)
+            flat, rgb = ellipsoid_sample(rng, d.voxel_size, n_points)
             self.items.append(
                 {
                     "model_id": f"synthetic_{i:04d}",
@@ -141,11 +133,11 @@ def main():
     budget = -(-int(worst * 1.25) // 256) * 256
     frac = min(1.0, budget / (args.batch_size * tg3))
     cfg.model.modules.VoxelCNNEncoder.tile_budget_frac = frac
-    # Same halo rule as DataModule: ≥2 tile-sparse blocks → 14³ rows.
-    halo = (
-        3
-        if int(cfg.model.modules.VoxelCNNEncoder.get("tile_sparse_blocks", 2)) >= 2
-        else 1
+    # Same halo rule as DataModule (single definition in ops/tile_sparse).
+    from tricolo_tpu.ops.tile_sparse import windowed_halo
+
+    halo = windowed_halo(
+        cfg.model.modules.VoxelCNNEncoder.get("tile_sparse_blocks", 2)
     )
 
     def make_iter():

@@ -59,8 +59,13 @@ def run_one(
         f"experiment_name=bn_{mode}_s{seed}",
         "checkpoint_monitor.save_top_k=0",
     ]
-    if mode == "masked":
-        overrides.append("model.modules.VoxelCNNEncoder.masked_bn=true")
+    # Both arms explicit: the config DEFAULT flipped to masked_bn=true when
+    # this experiment picked masked as the flagship semantics — relying on
+    # the default would silently run the dense arm masked on a rerun.
+    overrides.append(
+        "model.modules.VoxelCNNEncoder.masked_bn="
+        + ("true" if mode == "masked" else "false")
+    )
     overrides.extend(extra)
     cfg = load_config(overrides)
     trainer = Trainer(cfg)

@@ -25,6 +25,11 @@ import numpy as np
 
 from .datasets import build_dataset
 
+# Once-per-process guard for the windowed_compact over-budget warning
+# (collate runs in the prefetch thread; a too-small budget truncates on
+# every batch and per-batch warnings would flood the log).
+_WARNED_OVER_BUDGET = False
+
 
 def collate(
     items: list[dict],
@@ -107,14 +112,22 @@ def collate(
                 flat, rgb, voxel_size, budget, halo=windowed_halo
             )
             if total > budget:
-                import logging
+                # Once per process (truncation recurs every batch once the
+                # budget is too small — per-batch repeats would bury the log
+                # from the prefetch thread).
+                global _WARNED_OVER_BUDGET
+                if not _WARNED_OVER_BUDGET:
+                    _WARNED_OVER_BUDGET = True
+                    import logging
 
-                logging.getLogger(__name__).warning(
-                    "windowed_compact: %d active tiles exceed the budget %d "
-                    "(tile_budget_frac=%.3g) — highest-index tiles dropped; "
-                    "raise model.modules.VoxelCNNEncoder.tile_budget_frac",
-                    total, budget, tile_budget_frac,
-                )
+                    logging.getLogger(__name__).warning(
+                        "windowed_compact: %d active tiles exceed the budget "
+                        "%d (tile_budget_frac=%.3g) — highest-index tiles "
+                        "dropped; raise model.modules.VoxelCNNEncoder."
+                        "tile_budget_frac (warning once; later batches may "
+                        "truncate too)",
+                        total, budget, tile_budget_frac,
+                    )
             batch["voxel_rows"] = rows
             batch["voxel_row_ids"] = row_ids
         else:
@@ -268,7 +281,23 @@ class DataModule:
             self.val_set = build_dataset(self.cfg, self.cfg.inference.split)
 
     def _loader_kwargs(self) -> dict:
+        from ..ops.tile_sparse import windowed_halo
+
         model = self.cfg.model
+        blocks = int(model.modules.VoxelCNNEncoder.get("tile_sparse_blocks", 2))
+        if blocks > 2 and str(
+            self.cfg.data.get("voxel_transfer", "packed")
+        ).startswith("windowed"):
+            import warnings
+
+            warnings.warn(
+                f"tile_sparse_blocks={blocks} with a windowed voxel transfer: "
+                "the windowed encoder derives its sparse depth from the row "
+                "halo and supports at most 2 sparse blocks — running 2. Use "
+                "voxel_transfer=dense with tile_sparse=true for deeper "
+                "sparse stacks.",
+                stacklevel=2,
+            )
         return dict(
             batch_size=self.cfg.data.batch_size,
             voxel_transfer=self.cfg.data.get("voxel_transfer", "packed"),
@@ -282,12 +311,10 @@ class DataModule:
             tile_budget_frac=float(
                 model.modules.VoxelCNNEncoder.get("tile_budget_frac", 0.5)
             ),
-            # windowed halo follows the encoder's sparse depth: ≥2 blocks
-            # need each tile's full block-2 support (14³ rows, halo 3);
-            # the encoder derives its own depth from the row length.
-            windowed_halo=3
-            if int(model.modules.VoxelCNNEncoder.get("tile_sparse_blocks", 2)) >= 2
-            else 1,
+            # windowed halo follows the encoder's sparse depth (single
+            # definition in ops/tile_sparse.py): ≥2 blocks need each
+            # tile's full block-2 support (14³ rows, halo 3).
+            windowed_halo=windowed_halo(blocks),
         )
 
     def train_loader(self) -> BatchIterator:

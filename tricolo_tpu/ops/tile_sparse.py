@@ -94,6 +94,19 @@ def tile_budget(frac: float, batch: int, tg3: int) -> int:
     return min(budget, batch * tg3)
 
 
+def windowed_halo(tile_sparse_blocks: int) -> int:
+    """Halo width for host-windowed rows, from the encoder's sparse depth.
+
+    Single definition for every producer (DataModule, bench.py,
+    scripts/bench_loader.py): ≥2 sparse blocks need each tile's full
+    block-2 input support (14³ rows, halo 3); 1 block needs 10³ (halo 1).
+    The windowed encoder derives its depth from the row length, so it
+    caps sparse depth at 2 — DataModule warns when tile_sparse_blocks
+    asks for more under a windowed transfer.
+    """
+    return 3 if int(tile_sparse_blocks) >= 2 else 1
+
+
 def active_tile_ids(mask: jax.Array, tile: int, budget: int) -> jax.Array:
     """Sorted ids of tiles containing ≥1 active site.
 

@@ -318,12 +318,23 @@ class CheckpointManager:
         all; save_last=True additionally maintains a ``last.ckpt`` outside
         the top-k set, overwritten at every save opportunity (ModelCheckpoint
         save_last, reference config.yaml:42)."""
-        snap = snapshot_state(state) if self.writer is not None else state
+        # Snapshot lazily: when every write is skipped (save_last off and
+        # the score misses the top-k) the device-side copy of the full
+        # state (params + optimizer moments) would be pure waste. The
+        # snapshot still happens synchronously, before save() returns, so
+        # later donation/mutation of ``state`` cannot race the writer.
+        _snapshot = [state if self.writer is None else None]
+
+        def snap():
+            if _snapshot[0] is None:
+                _snapshot[0] = snapshot_state(state)
+            return _snapshot[0]
+
         if self.save_last:
             last_path = os.path.join(self.dirpath, "last.ckpt")
             self._effect(
-                lambda: save_checkpoint(
-                    last_path, snap, epoch, extra={"metrics": metrics}
+                lambda s=snap(): save_checkpoint(
+                    last_path, s, epoch, extra={"metrics": metrics}
                 )
             )
         if self.save_top_k == 0:
@@ -343,7 +354,9 @@ class CheckpointManager:
 
         path = os.path.join(self.dirpath, f"epoch={epoch}.ckpt")
         self._effect(
-            lambda: save_checkpoint(path, snap, epoch, extra={"metrics": metrics})
+            lambda s=snap(): save_checkpoint(
+                path, s, epoch, extra={"metrics": metrics}
+            )
         )
         self._entries = [e for e in self._entries if e["path"] != path]
         self._entries.append({"path": path, "score": score, "epoch": epoch})

@@ -125,6 +125,14 @@ class Trainer:
 
             batch = len(sample_batch["voxel_flat"])
             need = host_tile_count(sample_batch["voxel_flat"], voxel_size)
+        elif "voxel_grid" in sample_batch:
+            # dense transfer + tile_sparse: the device extracts active
+            # tiles from the grid with the same nonzero rule.
+            grid = np.asarray(sample_batch["voxel_grid"])
+            batch = grid.shape[0]
+            tg = voxel_size // 8
+            tiled = grid.reshape(batch, tg, 8, tg, 8, tg, 8)
+            need = int(np.any(tiled != 0, axis=(2, 4, 6)).sum())
         else:
             return
         from ..ops.tile_sparse import tile_budget
