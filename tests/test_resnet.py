@@ -96,6 +96,8 @@ def test_resnet18_matches_torch_oracle(tmp_path):
     np.testing.assert_allclose(actual2, actual, atol=1e-6)
 
 
+@pytest.mark.slow  # opt-in feature (default stem stays composed); ~18 s
+# cold compile of two full ResNet18 grad programs
 def test_hybrid_stem_matches_composed():
     """hybrid_stem=True (StemBNReLUPool) must equal the composed flax
     bn1→relu→maxpool chain: identical variable tree, stem output equal to
@@ -215,9 +217,13 @@ def test_s2d_stem_matches_plain_conv():
     gp = jax.grad(loss)(vs, plain)["params"]["kernel"]
     np.testing.assert_allclose(np.asarray(gs), np.asarray(gp), atol=2e-5, rtol=1e-4)
 
-    # Odd spatial dims are rejected (the (4,2) pad rule assumes even H/W).
-    with np.testing.assert_raises(ValueError):
-        s2d.apply(vs, jnp.zeros((1, 31, 31, 3)))
+    # Odd spatial dims fall back to the plain 7×7/s2/p3 conv over the
+    # same kernel (the (4,2) pad rule assumes even H/W).
+    img_odd = jnp.asarray(rng.normal(size=(1, 31, 31, 3)).astype(np.float32))
+    out_odd = np.asarray(s2d.apply(vs, img_odd))
+    ref_odd = np.asarray(plain.apply(vs, img_odd))
+    assert out_odd.shape == ref_odd.shape == (1, 16, 16, 64)
+    np.testing.assert_array_equal(out_odd, ref_odd)
 
 
 def test_s2d_stem_full_resnet_equivalence():

@@ -117,7 +117,17 @@ class TestTileSparseEncoder:
         )
         return VoxelCNNEncoder(**kw)
 
-    @pytest.mark.parametrize("blocks", [1, 2, 3])
+    # blocks=2 is the flagship default and stays in the fast tier; the
+    # 1- and 3-block variants re-compile the whole sparse program (~20 s
+    # each on a cold CPU cache) and run slow-tier only.
+    @pytest.mark.parametrize(
+        "blocks",
+        [
+            pytest.param(1, marks=pytest.mark.slow),
+            2,
+            pytest.param(3, marks=pytest.mark.slow),
+        ],
+    )
     def test_matches_dense_masked(self, blocks):
         """Forward values, BN batch statistics and parameter gradients of
         the tile-sparse path equal the dense masked path (f32, rtol tied
@@ -156,6 +166,8 @@ class TestTileSparseEncoder:
                 np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
             )
 
+    @pytest.mark.slow  # non-default layout; the op-level bit-exactness
+    # test in TestTileOps stays fast
     def test_scatter_layout_lines_matches_transpose(self):
         """Encoder-level: scatter_layout="lines" is bit-exact vs
         "transpose" (fwd + grads). ef_dim=16 so t·C ≥ 128 at both sparse
@@ -428,6 +440,8 @@ class TestWindowedTransfer:
         out = model.apply(variables, dev)
         assert out["voxel_features"].shape == (cfg.data.batch_size, 512)
 
+    @pytest.mark.slow  # non-default transfer mode (flagship is
+    # windowed_compact, whose loader test stays fast)
     def test_loader_windowed_mode(self):
         """DataModule with voxel_transfer=windowed produces the windowed
         keys and a train step runs end to end."""

@@ -115,9 +115,19 @@ class S2DStemConv(nn.Module):
             self.param_dtype,
         )
         N, H, W, C = x.shape
-        if H % 2 or W % 2:
-            raise ValueError(f"s2d stem requires even spatial dims, got {H}x{W}")
         dtype = self.dtype or x.dtype
+        if H % 2 or W % 2:
+            # The s2d factoring needs even spatial dims; odd inputs take
+            # the plain 7×7/s2/p3 conv over the same kernel (exactly the
+            # reference stem) — a static-shape decision, so each jitted
+            # program contains only one branch.
+            return jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(2, 2),
+                padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8,8,3,F)
         k = (
             k.reshape(4, 2, 4, 2, C, self.features)
@@ -225,7 +235,9 @@ class ResNet(nn.Module):
     hybrid_stem: bool = False
     # s2d_stem=True computes the stem conv as a 4×4/1 conv over 2×2
     # space-to-depth input (S2DStemConv) — exactly equivalent, same
-    # parameter tree; opt-in pending an end-to-end measurement.
+    # parameter tree. Measured a wash end-to-end (2389.7 vs 2394.3
+    # pairs/s back-to-back on v5e, PERF.md round 3): XLA's own lowering
+    # of the 7×7/s2 stem is not a bottleneck at 128². Stays opt-in.
     s2d_stem: bool = False
 
     @nn.compact
