@@ -114,8 +114,8 @@ def default_config() -> ConfigNode:
                         "hybrid_stem": False,
                         # Stem conv via 2×2 space-to-depth (4×4/1 conv,
                         # exactly equivalent, same parameter tree —
-                        # resnet.S2DStemConv). Opt-in pending an
-                        # end-to-end TPU measurement (PERF.md).
+                        # resnet.S2DStemConv). The end-to-end A/B measured
+                        # a wash (PERF.md round 3); stays opt-in for study.
                         "s2d_stem": False,
                     },
                     "VoxelCNNEncoder": {
