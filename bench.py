@@ -131,24 +131,52 @@ def main():
 
     host_batches = [_host_batch(cfg, n_points=n_points, seed=s) for s in range(2)]
 
+    tile_rows = 0
     if (
         cfg.data.voxel_transfer in ("windowed", "windowed_compact")
         and cfg.model.voxel_encoder is not None
-        and not any(o.startswith("model.modules.VoxelCNNEncoder.tile_budget") for o in args.override)
     ):
-        # Size the active-tile budget to the data (the trainer's budget
-        # diagnostic recommends exactly this for real datasets): the config
-        # default 0.5 is a safe ceiling, but padding rows cost sparse
-        # compute — at solid-shape occupancy (~10-20% of tiles) a fitted
-        # budget is the difference between the windowed path winning and
-        # losing to the dense encoder.
-        from tricolo_tpu.ops.tile_sparse import host_tile_count
-
         tg3 = (cfg.data.voxel_size // 8) ** 3
-        worst = max(host_tile_count(b["voxel_flat"], cfg.data.voxel_size) for b in host_batches)
-        budget = -(-int(worst * 1.25) // 256) * 256  # 25% headroom, /256 rows
-        frac = min(1.0, budget / (cfg.data.batch_size * tg3))
-        cfg.model.modules.VoxelCNNEncoder.tile_budget_frac = frac
+        if cfg.data.voxel_transfer == "windowed_compact":
+            # Per-sample row budget, fitted exactly like the production
+            # loader's tile_budget="auto" (BatchIterator.tile_budget_rows):
+            # k = the measured max per-sample active-tile count, /8 —
+            # truncation impossible by construction, zero padding waste
+            # beyond the rounding.
+            from tricolo_tpu.ops.tile_sparse import (
+                host_sample_tile_counts,
+                sample_tile_budget,
+            )
+
+            budget_cfg = cfg.model.modules.VoxelCNNEncoder.get(
+                "tile_budget", "auto"
+            )
+            explicit = isinstance(budget_cfg, (int, float)) and not isinstance(
+                budget_cfg, bool
+            )
+            worst = max(
+                max(host_sample_tile_counts(b["voxel_flat"], cfg.data.voxel_size))
+                for b in host_batches
+            )
+            tile_rows = sample_tile_budget(
+                budget_cfg, tg3, None if explicit else worst
+            )
+        elif not any(
+            o.startswith("model.modules.VoxelCNNEncoder.tile_budget")
+            for o in args.override
+        ):
+            # Full-windowed mode compacts on DEVICE with the global
+            # tile_budget_frac — fit it to the data the same way the
+            # trainer's budget diagnostic recommends.
+            from tricolo_tpu.ops.tile_sparse import host_tile_count
+
+            worst = max(
+                host_tile_count(b["voxel_flat"], cfg.data.voxel_size)
+                for b in host_batches
+            )
+            budget = -(-int(worst * 1.25) // 256) * 256  # 25% headroom
+            frac = min(1.0, budget / (cfg.data.batch_size * tg3))
+            cfg.model.modules.VoxelCNNEncoder.tile_budget_frac = frac
 
     mesh = make_mesh(cfg.parallel.data_parallel)
     model = TriCoLoNet.from_config(cfg)
@@ -182,17 +210,13 @@ def main():
             host["voxel_tile_occ"] = occ
         elif cfg.data.voxel_transfer == "windowed_compact":
             from tricolo_tpu.data.device_prep import windowed_compact_on_host
-            from tricolo_tpu.ops.tile_sparse import tile_budget
 
-            tg3 = (cfg.data.voxel_size // 8) ** 3
-            frac = float(cfg.model.modules.VoxelCNNEncoder.tile_budget_frac)
-            budget = tile_budget(frac, cfg.data.batch_size, tg3)
-            rows, row_ids, _ = windowed_compact_on_host(
+            rows, local_ids, _ = windowed_compact_on_host(
                 host.pop("voxel_flat"), host.pop("voxel_rgb"),
-                cfg.data.voxel_size, budget, halo=halo,
+                cfg.data.voxel_size, tile_rows, halo=halo,
             )
             host["voxel_rows"] = rows
-            host["voxel_row_ids"] = row_ids
+            host["voxel_row_ids"] = local_ids
         return host
 
     batches = [shard_batch(to_transfer(b), mesh) for b in host_batches]

@@ -213,7 +213,7 @@ bool npy_parse_u8(const std::vector<uint8_t>& buf, size_t* data_offset,
 extern "C" {
 
 // Version tag so the Python binding can detect stale builds.
-int32_t tricolo_native_abi_version() { return 7; }
+int32_t tricolo_native_abi_version() { return 8; }
 
 // Packed (flat, rgb) words -> dense (B, D, D, D) u32 grid (zero elsewhere).
 // The host half of the data.voxel_transfer=dense path: runs per batch in
@@ -315,69 +315,63 @@ void tricolo_packed_to_windowed(const uint32_t* flat, const uint32_t* rgb,
   });
 }
 
-// Compacted windowed transfer: window rows for ONLY the first `budget`
-// active tiles (ascending flattened tile id, matching the device's
-// jnp.nonzero(size=budget) order — over-budget tiles are dropped highest-
-// id-first, same truncation rule as the on-device take). Outputs:
-//   rows    (budget, s^3) u32 — zeroed, active windows written
-//   row_ids (budget,) i32     — flattened tile ids, padded with batch*tg^3
-// Returns the total active-tile count (callers warn when it exceeds
-// budget). vs tricolo_packed_to_windowed this writes budget/tg^3-fold less
-// memory (~5-10x at solid-shape occupancy) and the device consumes the
-// rows directly — no on-device nonzero/take, and H2D ships only active
-// windows.
-int64_t tricolo_packed_to_windowed_compact(
+// Compacted windowed transfer, PER-SAMPLE layout: window rows for ONLY
+// each sample's first `k` active tiles (ascending tile id within the
+// sample — the same nonzero(size=k) truncation rule the device applies).
+// The per-sample axis is the point: under a data-parallel mesh the rows
+// shard with their samples, so the tile->grid scatter stays shard-local
+// (ops/tile_sparse.scatter_tiles_ps). Outputs:
+//   rows      (batch, k, s^3) u32 — zeroed, active windows written
+//   local_ids (batch, k) i32      — tile ids in [0, tg^3), padded tg^3
+//   counts    (batch,) i32        — each sample's TOTAL active tiles
+//     (callers compare against k: count > k means truncation)
+// Fully sample-parallel — no cross-sample pass exists in this layout.
+void tricolo_packed_to_windowed_compact(
     const uint32_t* flat, const uint32_t* rgb, int64_t batch,
-    int64_t n_points, int64_t d, int64_t tile, int64_t halo, int64_t budget,
-    uint32_t* rows, int32_t* row_ids) {
+    int64_t n_points, int64_t d, int64_t tile, int64_t halo, int64_t k,
+    uint32_t* rows, int32_t* local_ids, int32_t* counts) {
   const int64_t tg = d / tile;
   const int64_t s = tile + 2 * halo;
   const int64_t s3 = s * s * s;
   const int64_t tiles_per_sample = tg * tg * tg;
-  const int64_t n_tiles = batch * tiles_per_sample;
-  // Pass 1 (sample-parallel): per-tile center occupancy.
-  std::vector<uint8_t> occ(static_cast<size_t>(n_tiles), 0);
-  uint8_t* occ_p = occ.data();
   parallel_batches(batch, [=](int64_t b0, int64_t b1) {
-    for (int64_t b = b0; b < b1; ++b) {
-      const uint32_t* f = flat + b * n_points;
-      uint8_t* o = occ_p + b * tiles_per_sample;
-      for (int64_t i = 0; i < n_points; ++i) {
-        const uint32_t word = f[i];
-        if (word == 0xFFFFFFFFu) break;
-        const int64_t x = (word >> 16) & 0xFF;
-        const int64_t y = (word >> 8) & 0xFF;
-        const int64_t z = word & 0xFF;
-        if (x >= d || y >= d || z >= d) continue;
-        o[((x / tile) * tg + y / tile) * tg + z / tile] = 1;
-      }
-    }
-  });
-  // Slot assignment: ascending tile id → row slot, first `budget` winners.
-  std::vector<int32_t> slot(static_cast<size_t>(n_tiles), -1);
-  int64_t total = 0;
-  for (int64_t t = 0; t < n_tiles; ++t) {
-    if (occ[static_cast<size_t>(t)]) {
-      if (total < budget) {
-        slot[static_cast<size_t>(t)] = static_cast<int32_t>(total);
-        row_ids[total] = static_cast<int32_t>(t);
-      }
-      ++total;
-    }
-  }
-  for (int64_t k = std::min(total, budget); k < budget; ++k) {
-    row_ids[k] = static_cast<int32_t>(n_tiles);  // "no tile" sentinel
-  }
-  std::memset(rows, 0, static_cast<size_t>(budget) * s3 * sizeof(uint32_t));
-  // Pass 2 (sample-parallel): scatter each site into its home window and
-  // the halo bands of active neighbor windows. All of a sample's target
-  // rows belong to that sample's tiles, so the split is race-free.
-  const int32_t* slot_p = slot.data();
-  parallel_batches(batch, [=](int64_t b0, int64_t b1) {
+    std::vector<int32_t> slot(static_cast<size_t>(tiles_per_sample));
     for (int64_t b = b0; b < b1; ++b) {
       const uint32_t* f = flat + b * n_points;
       const uint32_t* c = rgb + b * n_points;
-      const int32_t* sl = slot_p + b * tiles_per_sample;
+      uint32_t* r = rows + b * k * s3;
+      int32_t* ids = local_ids + b * k;
+      // Pass 1: this sample's per-tile center occupancy (slot = -1/-2).
+      std::fill(slot.begin(), slot.end(), -1);
+      for (int64_t i = 0; i < n_points; ++i) {
+        const uint32_t word = f[i];
+        if (word == 0xFFFFFFFFu) break;  // padding is trailing by contract
+        const int64_t x = (word >> 16) & 0xFF;
+        const int64_t y = (word >> 8) & 0xFF;
+        const int64_t z = word & 0xFF;
+        if (x >= d || y >= d || z >= d) continue;  // malformed
+        slot[(x / tile) * tg * tg + (y / tile) * tg + z / tile] = -2;
+      }
+      // Slot assignment: ascending tile id -> row slot, first k winners.
+      int64_t total = 0;
+      for (int64_t t = 0; t < tiles_per_sample; ++t) {
+        if (slot[static_cast<size_t>(t)] == -2) {
+          if (total < k) {
+            slot[static_cast<size_t>(t)] = static_cast<int32_t>(total);
+            ids[total] = static_cast<int32_t>(t);
+          } else {
+            slot[static_cast<size_t>(t)] = -1;  // over-budget: dropped
+          }
+          ++total;
+        }
+      }
+      counts[b] = static_cast<int32_t>(total);
+      for (int64_t j = std::min(total, k); j < k; ++j) {
+        ids[j] = static_cast<int32_t>(tiles_per_sample);  // "no tile"
+      }
+      std::memset(r, 0, static_cast<size_t>(k) * s3 * sizeof(uint32_t));
+      // Pass 2: scatter each site into its home window and the halo bands
+      // of active neighbor windows.
       for (int64_t i = 0; i < n_points; ++i) {
         const uint32_t word = f[i];
         if (word == 0xFFFFFFFFu) break;
@@ -400,18 +394,17 @@ int64_t tricolo_packed_to_windowed_compact(
             for (int ic = 0; ic < n_opts[2]; ++ic) {
               const int64_t wa = w_opts[0][ia], wb = w_opts[1][ib],
                             wc = w_opts[2][ic];
-              const int32_t row = sl[(wa * tg + wb) * tg + wc];
+              const int32_t row = slot[(wa * tg + wb) * tg + wc];
               if (row < 0) continue;  // inactive or over-budget tile
               const int64_t la = v[0] - (wa * tile - halo);
               const int64_t lb = v[1] - (wb * tile - halo);
               const int64_t lc = v[2] - (wc * tile - halo);
-              rows[static_cast<int64_t>(row) * s3 + (la * s + lb) * s + lc] =
+              r[static_cast<int64_t>(row) * s3 + (la * s + lb) * s + lc] =
                   c[i];
             }
       }
     }
   });
-  return total;
 }
 
 // Dense (4, D, D, D) u8 RGBA C-order grid -> packed words. Returns the

@@ -121,8 +121,15 @@ def main():
     dataset = _EllipsoidDataset(
         cfg, n_items=256, length=args.steps * args.batch_size, n_points=n_points
     )
-    # Fit the tile budget to the data the way bench.py does (+25% headroom)
-    from tricolo_tpu.ops.tile_sparse import host_tile_count
+    # Fit the tile budgets to the data the way bench.py does: the global
+    # device-side budget (full-windowed mode) gets +25% headroom; the
+    # per-sample windowed_compact budget k fits the measured max exactly
+    # (the production loader's tile_budget="auto" rule).
+    from tricolo_tpu.ops.tile_sparse import (
+        host_sample_tile_counts,
+        host_tile_count,
+        sample_tile_budget,
+    )
 
     probe = BatchIterator(
         dataset, args.batch_size, drop_last=True, prefetch=False,
@@ -133,6 +140,10 @@ def main():
     budget = -(-int(worst * 1.25) // 256) * 256
     frac = min(1.0, budget / (args.batch_size * tg3))
     cfg.model.modules.VoxelCNNEncoder.tile_budget_frac = frac
+    tile_rows = sample_tile_budget(
+        "auto", tg3,
+        max(host_sample_tile_counts(probe["voxel_flat"], cfg.data.voxel_size)),
+    )
     # Same halo rule as DataModule (single definition in ops/tile_sparse).
     from tricolo_tpu.ops.tile_sparse import windowed_halo
 
@@ -149,7 +160,7 @@ def main():
             prefetch=True,
             voxel_transfer=args.voxel_transfer,
             voxel_size=cfg.data.voxel_size,
-            tile_budget_frac=frac,
+            tile_budget=tile_rows,
             windowed_halo=halo,
         )
 

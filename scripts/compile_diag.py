@@ -63,21 +63,22 @@ def build_case(voxel_size: int, batch: int, transfer: str, remat: bool):
         )
     elif transfer == "windowed_compact":
         from tricolo_tpu.data.device_prep import windowed_compact_on_host
-        from tricolo_tpu.ops.tile_sparse import host_tile_count
+        from tricolo_tpu.ops.tile_sparse import (
+            host_sample_tile_counts,
+            sample_tile_budget,
+        )
 
         tg3 = (voxel_size // 8) ** 3
-        worst = host_tile_count(host["voxel_flat"], voxel_size)
-        budget = -(-int(worst * 1.25) // 256) * 256
-        budget = min(budget, batch * tg3)
-        cfg.model.modules.VoxelCNNEncoder.tile_budget_frac = min(
-            1.0, budget / (batch * tg3)
+        k = sample_tile_budget(
+            "auto", tg3,
+            max(host_sample_tile_counts(host["voxel_flat"], voxel_size)),
         )
-        rows, row_ids, _ = windowed_compact_on_host(
-            host.pop("voxel_flat"), host.pop("voxel_rgb"), voxel_size, budget,
+        rows, local_ids, _ = windowed_compact_on_host(
+            host.pop("voxel_flat"), host.pop("voxel_rgb"), voxel_size, k,
             halo=halo,
         )
         host["voxel_rows"] = rows
-        host["voxel_row_ids"] = row_ids
+        host["voxel_row_ids"] = local_ids
 
     model = TriCoLoNet.from_config(cfg)
     tx = make_optimizer(cfg)

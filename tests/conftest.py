@@ -15,9 +15,18 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU collectives abort the process after a hard 40 s rendezvous
+    # timeout. On a loaded 1-core box the 8 virtual devices' compute
+    # serializes, so a step whose per-device work is a few seconds can
+    # legitimately skew past 40 s — raise the limit (and the 20 s stuck
+    # warning) for tests; a genuine deadlock still terminates.
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 import pytest  # noqa: E402

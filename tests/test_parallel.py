@@ -255,3 +255,86 @@ class TestLocalNegatives:
         sharding = batch_sharding(mesh)
         got = float(jax.jit(loss_fn)(jax.device_put(zis, sharding), jax.device_put(zjs, sharding)))
         assert got == pytest.approx(expect, rel=1e-5)
+
+
+class TestWindowedCompactMesh:
+    """The FLAGSHIP transfer under the mesh (VERDICT round-3 #1): per-
+    sample windowed_compact rows shard with their samples, and the sharded
+    tile-sparse step must equal (a) the same program on a 1-device mesh
+    (sharding semantics) and (b) the packed dense-masked step on the same
+    data (tile-sparse exactness), in f32."""
+
+    def _batch_and_model(self, transfer):
+        from tricolo_tpu.config import load_config
+        from tricolo_tpu.data import DataModule
+        from tricolo_tpu.models.tricolo_net import TriCoLoNet
+        from tricolo_tpu.training import make_optimizer
+
+        cfg = load_config(
+            [
+                "data=synthetic",
+                "model.voxel_encoder=VoxelCNNEncoder",
+                f"data.voxel_transfer={transfer}",
+                "precision.compute_dtype=float32",
+            ]
+        )
+        dm = DataModule(cfg)
+        dm.setup("fit")
+        # Same dataset + seed + epoch ⇒ both transfers see identical
+        # underlying samples in identical order.
+        batch = next(iter(dm.train_loader()))
+        return cfg, TriCoLoNet.from_config(cfg), make_optimizer(cfg), batch
+
+    def _run_step(self, cfg, model, tx, batch, run_mesh, variables):
+        from tricolo_tpu.training import TrainState, make_train_step
+
+        fresh = jax.tree.map(jnp.copy, variables)
+        state = jax.device_put(
+            TrainState.create(fresh, tx), replicated_sharding(run_mesh)
+        )
+        step = make_train_step(model, tx, cfg)
+        state, losses = step(
+            state, shard_batch(batch, run_mesh), 3.5e-4, jax.random.PRNGKey(0)
+        )
+        leaves = jax.tree.leaves(state.params)
+        return float(losses["train_loss/total_loss"]), np.asarray(
+            jax.device_get(leaves[0])
+        )
+
+    def test_flagship_matches_packed_and_one_device(self, mesh):
+        import jax.numpy as jnp  # noqa: F811  (module-level alias shadow)
+
+        from tricolo_tpu.data.device_prep import prepare_device_batch
+
+        cfg, model, tx, wc_batch = self._batch_and_model("windowed_compact")
+        _, _, _, packed_batch = self._batch_and_model("packed")
+        assert "voxel_rows" in wc_batch and wc_batch["voxel_rows"].ndim == 3
+        assert "voxel_flat" in packed_batch
+
+        from tricolo_tpu.training.steps import _wants_voxel_mask
+
+        dev = prepare_device_batch(
+            {
+                k: jnp.asarray(v)
+                for k, v in wc_batch.items()
+                if isinstance(v, np.ndarray)
+            },
+            cfg.data.voxel_size,
+            voxel_mask=_wants_voxel_mask(cfg),
+        )
+        variables = model.init(jax.random.key(0), dev)
+
+        loss_mesh, p_mesh = self._run_step(cfg, model, tx, wc_batch, mesh, variables)
+        loss_1dev, p_1dev = self._run_step(
+            cfg, model, tx, wc_batch, make_mesh(1), variables
+        )
+        loss_packed, p_packed = self._run_step(
+            cfg, model, tx, packed_batch, mesh, variables
+        )
+        # (a) mesh vs 1-device, identical program: reduction-order noise only
+        assert loss_mesh == pytest.approx(loss_1dev, rel=1e-5)
+        np.testing.assert_allclose(p_mesh, p_1dev, rtol=1e-4, atol=1e-6)
+        # (b) windowed tile-sparse vs packed dense-masked on the mesh: the
+        # f32 exactness chain, end to end through loss + Adam update
+        assert loss_mesh == pytest.approx(loss_packed, rel=1e-4)
+        np.testing.assert_allclose(p_mesh, p_packed, rtol=1e-3, atol=1e-5)

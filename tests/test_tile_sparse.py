@@ -10,7 +10,9 @@ from tricolo_tpu.models.voxel_cnn import VoxelCNNEncoder
 from tricolo_tpu.ops.tile_sparse import (
     active_tile_ids,
     gather_tiles,
+    sample_tile_budget,
     scatter_tiles,
+    scatter_tiles_ps,
     tile_counts,
 )
 
@@ -101,6 +103,71 @@ class TestTileOps:
         assert int(counts[0]) == 64
         ids = active_tile_ids(jnp.asarray(mask), 4, budget=16)
         assert int((ids < 64).sum()) == 16  # truncated, ascending ids kept
+
+    @pytest.mark.parametrize(
+        "layout,tile,C",
+        [
+            ("transpose", 2, 64),
+            ("lines", 2, 64),  # flagship halo-3 handoff: t·C = 128 lines
+            ("lines", 2, 1),  # t·C < 128 → transpose fallback inside
+        ],
+    )
+    def test_scatter_ps_matches_global(self, layout, tile, C):
+        """The per-sample scatter (windowed_compact mesh layout) is
+        bit-exact vs the global scatter fed the same tiles with global
+        ids — values and custom-VJP gradients, padding included."""
+        rng = np.random.default_rng(5)
+        B, grid, k = 3, 16, 5
+        tg3 = (grid // tile) ** 3
+        local = np.full((B, k), tg3, np.int32)
+        for b in range(B):
+            n = rng.integers(1, k + 1)
+            local[b, :n] = np.sort(rng.choice(tg3, size=n, replace=False))
+        tiles = jnp.asarray(
+            rng.random((B, k, tile, tile, tile, C)).astype(np.float32)
+        )
+        local_j = jnp.asarray(local)
+        # global twin: flatten the per-sample axes, rebase ids by sample
+        gids = np.where(
+            local < tg3, local + np.arange(B)[:, None] * tg3, B * tg3
+        ).astype(np.int32)
+        ref = scatter_tiles(
+            tiles.reshape(B * k, tile, tile, tile, C),
+            jnp.asarray(gids.reshape(-1)),
+            B,
+            grid,
+            layout="transpose",
+        )
+        out = scatter_tiles_ps(tiles, local_j, grid, layout=layout)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+        cot = jnp.asarray(rng.random(ref.shape).astype(np.float32))
+        g_ref = jax.grad(
+            lambda t: (
+                scatter_tiles(
+                    t.reshape(B * k, tile, tile, tile, C),
+                    jnp.asarray(gids.reshape(-1)),
+                    B,
+                    grid,
+                    layout="transpose",
+                )
+                * cot
+            ).sum()
+        )(tiles)
+        g_out = jax.grad(
+            lambda t: (scatter_tiles_ps(t, local_j, grid, layout=layout) * cot).sum()
+        )(tiles)
+        np.testing.assert_array_equal(np.asarray(g_out), np.asarray(g_ref))
+
+    def test_sample_tile_budget(self):
+        assert sample_tile_budget(100, 512) == 104  # /8 rounding
+        assert sample_tile_budget("auto", 512, max_tiles=130) == 136
+        assert sample_tile_budget("auto", 64, max_tiles=130) == 64  # clamp
+        assert sample_tile_budget(3, 512) == 8  # floor
+        with pytest.raises(ValueError, match="max per-"):
+            sample_tile_budget("auto", 512)
+        with pytest.raises(ValueError, match="positive"):
+            sample_tile_budget(0, 512)
 
 
 class TestTileSparseEncoder:
@@ -313,8 +380,9 @@ class TestWindowedTransfer:
 
     @pytest.mark.parametrize("halo", [1, 3])
     def test_compact_matches_full_windowed(self, halo):
-        """voxel_transfer=windowed_compact: host-compacted rows must equal
-        the on-device take of the full windows (features and grads)."""
+        """voxel_transfer=windowed_compact (per-sample rows): host-
+        compacted rows must equal the on-device take of the full windows
+        (features and grads)."""
         from tricolo_tpu.data.device_prep import (
             windowed_compact_on_host,
             windowed_on_host,
@@ -325,20 +393,25 @@ class TestWindowedTransfer:
         flat, rgb = self._packed_batch(rng, B=B, D=D)
         windows, occ = windowed_on_host(flat, rgb, D, halo=halo)
         tg3 = (D // 8) ** 3
-        budget = B * tg3  # frac 1.0, matching the encoder's derived budget
-        rows, row_ids, total = windowed_compact_on_host(
-            flat, rgb, D, budget, halo=halo
+        k = tg3  # full budget, matching the encoder's frac-1.0 take
+        rows, local_ids, counts = windowed_compact_on_host(
+            flat, rgb, D, k, halo=halo
         )
-        assert total == int((occ > 0).sum())
-        # compacted rows ARE the active full-window rows, ascending
-        (ids_np,) = np.nonzero(occ)
-        np.testing.assert_array_equal(row_ids[:total], ids_np)
-        np.testing.assert_array_equal(rows[:total], windows[ids_np])
-        assert (rows[total:] == 0).all() and (row_ids[total:] == B * tg3).all()
+        # per-sample compacted rows ARE the active full-window rows
+        occ_ps = occ.reshape(B, tg3)
+        for b in range(B):
+            (ids_np,) = np.nonzero(occ_ps[b])
+            n = len(ids_np)
+            assert counts[b] == n
+            np.testing.assert_array_equal(local_ids[b, :n], ids_np)
+            np.testing.assert_array_equal(
+                rows[b, :n], windows.reshape(B, tg3, -1)[b, ids_np]
+            )
+            assert (rows[b, n:] == 0).all() and (local_ids[b, n:] == tg3).all()
 
         enc = VoxelCNNEncoder(
             voxel_size=D, ef_dim=8, z_dim=32, out_dim=16,
-            masked_bn=True, tile_budget_frac=1.0, windowed_batch=B,
+            masked_bn=True, tile_budget_frac=1.0,
         )
         variables = enc.init(
             jax.random.PRNGKey(0), None, True, True,
@@ -351,11 +424,15 @@ class TestWindowedTransfer:
 
         out_w, stats_w = run(None, True, True, jnp.asarray(windows), jnp.asarray(occ))
         out_c, stats_c = run(
-            None, True, True, jnp.asarray(rows), None, jnp.asarray(row_ids)
+            None, True, True, jnp.asarray(rows), None, jnp.asarray(local_ids)
         )
-        np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_w), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out_c), np.asarray(out_w), rtol=1e-5, atol=1e-6
+        )
         for a, b in zip(jax.tree.leaves(stats_w), jax.tree.leaves(stats_c)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
 
         def loss(v, *args):
             out, _ = enc.apply(v, *args, mutable=["batch_stats"])
@@ -365,11 +442,11 @@ class TestWindowedTransfer:
             lambda v: loss(v, None, True, True, jnp.asarray(windows), jnp.asarray(occ))
         )(variables)
         gc = jax.grad(
-            lambda v: loss(v, None, True, True, jnp.asarray(rows), None, jnp.asarray(row_ids))
+            lambda v: loss(v, None, True, True, jnp.asarray(rows), None, jnp.asarray(local_ids))
         )(variables)
         for a, b in zip(jax.tree.leaves(gw), jax.tree.leaves(gc)):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
             )
 
     def test_compact_fallback_matches_native(self):
@@ -382,50 +459,49 @@ class TestWindowedTransfer:
             pytest.skip("native library unavailable")
         rng = np.random.default_rng(12)
         flat, rgb = self._packed_batch(rng, D=32)
-        for budget, halo in ((256, 1), (16, 1), (256, 3)):  # 16 forces truncation
-            got = native.packed_to_windowed_compact(
-                flat, rgb, 32, budget, halo=halo
-            )
+        for k, halo in ((64, 1), (16, 1), (64, 3)):  # 16 forces truncation
+            got = native.packed_to_windowed_compact(flat, rgb, 32, k, halo=halo)
             import unittest.mock as mock
 
             with mock.patch.object(native, "available", lambda: False):
                 want = device_prep.windowed_compact_on_host(
-                    flat, rgb, 32, budget, halo=halo
+                    flat, rgb, 32, k, halo=halo
                 )
-            assert got[2] == want[2]
+            np.testing.assert_array_equal(got[2], want[2])
             np.testing.assert_array_equal(got[0], want[0])
             np.testing.assert_array_equal(got[1], want[1])
 
     def test_loader_windowed_compact_mode(self):
-        """DataModule with voxel_transfer=windowed_compact produces the
-        compacted keys and the model consumes them end to end."""
+        """DataModule with voxel_transfer=windowed_compact (the DEFAULT)
+        produces the per-sample compacted keys, sized by the auto-fitted
+        budget, and the model consumes them end to end."""
         from tricolo_tpu.config import load_config
         from tricolo_tpu.data import DataModule
+        from tricolo_tpu.ops.tile_sparse import sample_tile_budget
 
         cfg = load_config(
             [
                 "data=synthetic",
-                "data.voxel_transfer=windowed_compact",
                 "model.voxel_encoder=VoxelCNNEncoder",
-                "model.modules.VoxelCNNEncoder.masked_bn=true",
             ]
         )
+        assert cfg.data.voxel_transfer == "windowed_compact"  # the default
         dm = DataModule(cfg)
         dm.setup("fit")
-        batch = next(iter(dm.train_loader()))
+        loader = dm.train_loader()
+        batch = next(iter(loader))
         D = cfg.data.voxel_size
         tg3 = (D // 8) ** 3
-        frac = float(cfg.model.modules.VoxelCNNEncoder.tile_budget_frac)
-        budget = min(
-            -(-int(frac * cfg.data.batch_size * tg3) // 256) * 256,
-            cfg.data.batch_size * tg3,
-        )
+        B = cfg.data.batch_size
+        # tile_budget="auto" fits the split's measured max per-sample count
+        k = sample_tile_budget("auto", tg3, loader.dataset.max_voxel_tiles)
+        assert loader.tile_budget_rows == k
         # DataModule derives the windowed halo from the encoder's sparse
         # depth: ≥2 tile-sparse blocks → halo 3 (14³ rows), else halo 1.
         blocks = int(cfg.model.modules.VoxelCNNEncoder.tile_sparse_blocks)
         s = 8 + 2 * (3 if blocks >= 2 else 1)
-        assert batch["voxel_rows"].shape == (budget, s**3)
-        assert batch["voxel_row_ids"].shape == (budget,)
+        assert batch["voxel_rows"].shape == (B, k, s**3)
+        assert batch["voxel_row_ids"].shape == (B, k)
         assert "voxel_flat" not in batch and "voxel_windows" not in batch
 
         from tricolo_tpu.models.tricolo_net import TriCoLoNet
@@ -433,12 +509,64 @@ class TestWindowedTransfer:
 
         model = TriCoLoNet.from_config(cfg)
         dev = prepare_device_batch(
-            {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)},
+            {k2: jnp.asarray(v) for k2, v in batch.items() if isinstance(v, np.ndarray)},
             D,
         )
         variables = model.init(jax.random.PRNGKey(0), dev)
         out = model.apply(variables, dev)
-        assert out["voxel_features"].shape == (cfg.data.batch_size, 512)
+        assert out["voxel_features"].shape == (B, 512)
+
+    def test_loader_overflow_policy(self):
+        """An explicit too-small tile_budget hard-fails by default
+        (data.tile_overflow=error) and truncates loudly per batch under
+        tile_overflow=truncate."""
+        import logging
+
+        from tricolo_tpu.config import load_config
+        from tricolo_tpu.data import DataModule
+
+        overrides = [
+            "data=synthetic",
+            "model.voxel_encoder=VoxelCNNEncoder",
+            "model.modules.VoxelCNNEncoder.tile_budget=8",  # too small
+        ]
+        cfg = load_config(overrides)
+        dm = DataModule(cfg)
+        dm.setup("fit")
+        with pytest.raises(ValueError, match="active\\s+tiles > tile_budget"):
+            dm.train_loader().peek()
+
+        cfg = load_config(overrides + ["data.tile_overflow=truncate"])
+        dm = DataModule(cfg)
+        dm.setup("fit")
+        loader = dm.train_loader()
+        with self._caplog_warning() as records:
+            batch = loader.peek()
+        assert batch["voxel_rows"].shape[1] == 8
+        assert any("tile_budget=8" in r.getMessage() for r in records)
+
+    @staticmethod
+    def _caplog_warning():
+        import contextlib
+        import logging
+
+        @contextlib.contextmanager
+        def ctx():
+            records = []
+
+            class H(logging.Handler):
+                def emit(self, record):
+                    records.append(record)
+
+            handler = H()
+            logger = logging.getLogger("tricolo_tpu.data.loader")
+            logger.addHandler(handler)
+            try:
+                yield records
+            finally:
+                logger.removeHandler(handler)
+
+        return ctx()
 
     @pytest.mark.slow  # non-default transfer mode (flagship is
     # windowed_compact, whose loader test stays fast)

@@ -148,12 +148,24 @@ def default_config() -> ConfigNode:
                         # Tile-sparse compute for the first N blocks —
                         # EXACT under masked_bn (submanifold zeros
                         # everything outside active 8³ tiles); requires
-                        # masked_bn=true + a mask channel. Budget =
+                        # masked_bn=true + a mask channel. This flag gates
+                        # only the DENSE-input plan (voxel_transfer=
+                        # packed/dense); the windowed transfers run
+                        # tile-sparse inherently. Budget for the dense
+                        # plan's on-device compaction =
                         # tile_budget_frac · B·(D/8)³ tiles; overflow
                         # truncates (trainer warns).
                         "tile_sparse": False,
                         "tile_sparse_blocks": 2,
                         "tile_budget_frac": 0.5,
+                        # PER-SAMPLE row budget k for the windowed_compact
+                        # host compaction ((B, k, s³) rows shard with
+                        # their samples under the mesh). "auto" fits the
+                        # split's measured max per-sample active-tile
+                        # count — truncation is then impossible by
+                        # construction; an int pins k (overflow follows
+                        # data.tile_overflow).
+                        "tile_budget": "auto",
                         # Tile→grid handoff layout: "transpose" (tile-
                         # major rows + transpose) or "lines" (direct
                         # NDHWC line-segment scatter, no transpose
@@ -257,15 +269,22 @@ def data_preset(name: str) -> ConfigNode:
             # "windowed"/"windowed_compact" materialize halo'd tile windows
             # (10³ rows, or 14³ when VoxelCNNEncoder.tile_sparse_blocks ≥ 2
             # — the loader derives the halo) for the tile-sparse masked
-            # voxel encoder (requires masked_bn) — compact ships only the
-            # active rows (budget = VoxelCNNEncoder.tile_budget_frac) and
-            # is the fastest deployment path: the bench flagship runs
-            # windowed_compact at 2390 pairs/s vs ~1740 dense (PERF.md
-            # round 3). The default stays "packed": it is the only mode
-            # with no site/tile truncation at any budget, so parity runs
-            # see every voxel; flip to windowed_compact (+ a fitted
-            # tile_budget_frac) for throughput.
-            "voxel_transfer": "packed",
+            # voxel encoder (requires masked_bn; the DataModule falls back
+            # to packed with a warning when masked_bn=false). DEFAULT is
+            # "windowed_compact" since round 4 — the benchmarked flagship
+            # path (~2× the dense masked step at 64³, PERF.md): per-sample
+            # (B, k, s³) active rows that shard with their samples under
+            # the mesh, with k auto-fitted to the split
+            # (VoxelCNNEncoder.tile_budget="auto") so no site or tile is
+            # ever dropped. "packed" remains for parity studies and
+            # unmasked (all-site BN) runs.
+            "voxel_transfer": "windowed_compact",
+            # windowed_compact overflow policy when an EXPLICIT
+            # tile_budget is too small for a batch: "error" (default —
+            # truncation silently changes numerics) or "truncate" (warn
+            # per occurrence, drop each sample's highest tiles). Inert
+            # under tile_budget="auto".
+            "tile_overflow": "error",
         }
     )
     if name == "base":

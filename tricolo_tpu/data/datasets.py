@@ -226,6 +226,31 @@ class GeneralDataset:
         out[: arr.shape[0]] = arr
         return out
 
+    @property
+    def max_voxel_tiles(self) -> int:
+        """Split max per-sample active 8³-tile count — the fitted
+        windowed_compact row budget (tile_budget="auto"): every sample of
+        the split fits in this many rows by construction, so host-side
+        tile truncation is impossible. Computed once, cached."""
+        cached = getattr(self, "_max_voxel_tiles", None)
+        if cached is None:
+            tile = 8
+            tg = self.voxel_size // tile
+            worst = 1
+            for v in self.vision_data.values():
+                flat = v["flat"]
+                if flat.shape[0] == 0:
+                    continue
+                x = (flat >> np.uint32(16)) & np.uint32(0xFF)
+                y = (flat >> np.uint32(8)) & np.uint32(0xFF)
+                z = flat & np.uint32(0xFF)
+                tid = (
+                    (x // tile).astype(np.int64) * tg + y // tile
+                ) * tg + z // tile
+                worst = max(worst, len(np.unique(tid)))
+            cached = self._max_voxel_tiles = worst
+        return cached
+
     @staticmethod
     def _pad_target(n: int) -> int:
         return max(_VOXEL_PAD_MULTIPLE, ((n + _VOXEL_PAD_MULTIPLE - 1) // _VOXEL_PAD_MULTIPLE) * _VOXEL_PAD_MULTIPLE)
@@ -365,6 +390,7 @@ class SyntheticDataset:
         return len(self.language_data)
 
     __getitem__ = GeneralDataset.__getitem__
+    max_voxel_tiles = GeneralDataset.max_voxel_tiles
 
 
 def _structured(cfg, split):

@@ -233,36 +233,46 @@ def windowed_compact_on_host(
     flat_u32: "np.ndarray",
     rgb_u32: "np.ndarray",
     voxel_size: int,
-    budget: int,
+    k: int,
     tile: int = 8,
     halo: int = 1,
 ):
-    """Compacted windowed transfer: rows for ONLY the active tiles.
+    """Compacted windowed transfer, PER-SAMPLE layout: rows for ONLY each
+    sample's active tiles.
 
-    Returns (rows (budget, s³) u32, row_ids (budget,) i32, total active
-    tiles). Rows cover the first ``budget`` active tiles in ascending
-    flattened-tile-id order — the same nonzero(size=budget) truncation rule
-    the device applies to full windows — with zero rows / B·tg³-sentinel
-    ids as padding. vs ``windowed_on_host`` this writes and ships only the
-    active ~10-25% of rows, and the encoder consumes them directly with no
-    on-device row take (voxel_transfer=windowed_compact).
+    Returns (rows (B, k, s³) u32, local_ids (B, k) i32, counts (B,) i32).
+    Each sample's rows cover its first ``k`` active tiles in ascending
+    tile-id order — the same nonzero(size=k) truncation rule the device
+    applies to full windows — with zero rows / tg³-sentinel ids as padding;
+    ``counts`` holds each sample's TOTAL active tiles so callers detect
+    truncation (count > k). The per-sample axis is what makes the layout
+    mesh-shardable: batch shards carry their own rows, and the tile→grid
+    scatter (ops/tile_sparse.scatter_tiles_ps) stays shard-local. vs
+    ``windowed_on_host`` this writes and ships only the active ~10-25% of
+    rows, and the encoder consumes them directly with no on-device row
+    take (voxel_transfer=windowed_compact).
     """
     from .. import native
 
     if native.available():
         return native.packed_to_windowed_compact(
-            flat_u32, rgb_u32, voxel_size, budget, tile, halo
+            flat_u32, rgb_u32, voxel_size, k, tile, halo
         )
     rows_full, occ = windowed_on_host(flat_u32, rgb_u32, voxel_size, tile, halo)
-    n_tiles = rows_full.shape[0]
-    (ids,) = np.nonzero(occ)
-    total = len(ids)
-    ids = ids[:budget]
-    rows = np.zeros((budget, rows_full.shape[1]), np.uint32)
-    rows[: len(ids)] = rows_full[ids]
-    row_ids = np.full(budget, n_tiles, np.int32)
-    row_ids[: len(ids)] = ids
-    return rows, row_ids, total
+    batch = flat_u32.shape[0]
+    tg3 = (voxel_size // tile) ** 3
+    rows_full = rows_full.reshape(batch, tg3, -1)
+    occ = occ.reshape(batch, tg3)
+    rows = np.zeros((batch, k, rows_full.shape[-1]), np.uint32)
+    local_ids = np.full((batch, k), tg3, np.int32)
+    counts = np.empty(batch, np.int32)
+    for b in range(batch):
+        (ids,) = np.nonzero(occ[b])
+        counts[b] = len(ids)
+        ids = ids[:k]
+        rows[b, : len(ids)] = rows_full[b, ids]
+        local_ids[b, : len(ids)] = ids
+    return rows, local_ids, counts
 
 
 def prepare_device_batch(
@@ -285,8 +295,9 @@ def prepare_device_batch(
         out["voxel_windows"] = batch["voxel_windows"]
         out["voxel_tile_occ"] = batch["voxel_tile_occ"]
     elif "voxel_rows" in batch:
-        # Compacted windowed transfer: host-compacted active rows + their
-        # tile ids — consumed by the encoder as-is (no on-device row take).
+        # Compacted windowed transfer: per-sample host-compacted active
+        # rows (B, k, s³) + their local tile ids (B, k) — consumed by the
+        # encoder as-is (no on-device row take); rows shard with samples.
         out["voxel_rows"] = batch["voxel_rows"]
         out["voxel_row_ids"] = batch["voxel_row_ids"]
     elif "voxel_grid" in batch:

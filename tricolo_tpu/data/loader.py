@@ -25,11 +25,6 @@ import numpy as np
 
 from .datasets import build_dataset
 
-# Once-per-process guard for the windowed_compact over-budget warning
-# (collate runs in the prefetch thread; a too-small budget truncates on
-# every batch and per-batch warnings would flood the log).
-_WARNED_OVER_BUDGET = False
-
 
 def collate(
     items: list[dict],
@@ -38,8 +33,9 @@ def collate(
     voxel_size: int = 64,
     with_images: bool = True,
     with_voxels: bool = True,
-    tile_budget_frac: float = 0.5,
+    tile_budget_rows: int = 0,
     windowed_halo: int = 1,
+    tile_overflow: str = "error",
 ) -> dict[str, Any]:
     """Stack items into one fixed-shape numpy batch.
 
@@ -56,10 +52,12 @@ def collate(
     transfer overlaps with compute. Pick "packed" when host→device
     bandwidth is the constraint, "dense" when device step time is.
     "windowed"/"windowed_compact" feed the tile-sparse masked voxel
-    encoder with host-materialized halo'd 10³ windows; the compact variant
-    ships only the active ~10-25% of rows (budget =
-    tile_budget_frac·B·(D/8)³ rows, /256, matching the encoder's
-    tile_budget_frac — keep the two configs equal).
+    encoder with host-materialized halo'd windows; the compact variant is
+    PER-SAMPLE — (B, k, s³) rows for each sample's first k active tiles,
+    k = ``tile_budget_rows`` (the caller fits it to the split's measured
+    max so truncation is impossible; an explicit smaller budget that would
+    truncate is ``tile_overflow``: "error" → raise, "truncate" → warn per
+    occurrence and drop each sample's highest tiles).
     """
     from .device_prep import (
         VOXEL_PAD_SENTINEL,
@@ -104,32 +102,36 @@ def collate(
             batch["voxel_windows"] = windows
             batch["voxel_tile_occ"] = occ
         elif voxel_transfer == "windowed_compact":
-            from ..ops.tile_sparse import tile_budget
-
-            tg3 = (voxel_size // 8) ** 3
-            budget = tile_budget(tile_budget_frac, batch_size, tg3)
-            rows, row_ids, total = windowed_compact_on_host(
-                flat, rgb, voxel_size, budget, halo=windowed_halo
+            if tile_budget_rows <= 0:
+                raise ValueError(
+                    "windowed_compact collate needs tile_budget_rows > 0 "
+                    "(BatchIterator resolves it from the config/dataset)"
+                )
+            rows, local_ids, counts = windowed_compact_on_host(
+                flat, rgb, voxel_size, tile_budget_rows, halo=windowed_halo
             )
-            if total > budget:
-                # Once per process (truncation recurs every batch once the
-                # budget is too small — per-batch repeats would bury the log
-                # from the prefetch thread).
-                global _WARNED_OVER_BUDGET
-                if not _WARNED_OVER_BUDGET:
-                    _WARNED_OVER_BUDGET = True
-                    import logging
+            if (counts > tile_budget_rows).any():
+                over = counts.max()
+                msg = (
+                    f"windowed_compact: a sample has {int(over)} active "
+                    f"tiles > tile_budget={tile_budget_rows} — set model."
+                    "modules.VoxelCNNEncoder.tile_budget=auto (fits the "
+                    "split) or raise the explicit budget"
+                )
+                if tile_overflow != "truncate":
+                    # Hard default: truncation silently changes the
+                    # numerics the tile-sparse exactness chain guarantees.
+                    raise ValueError(msg)
+                import logging
 
-                    logging.getLogger(__name__).warning(
-                        "windowed_compact: %d active tiles exceed the budget "
-                        "%d (tile_budget_frac=%.3g) — highest-index tiles "
-                        "dropped; raise model.modules.VoxelCNNEncoder."
-                        "tile_budget_frac (warning once; later batches may "
-                        "truncate too)",
-                        total, budget, tile_budget_frac,
-                    )
+                # Per occurrence, not per process: a later denser batch
+                # must be as loud as the first one.
+                logging.getLogger(__name__).warning(
+                    "%s (data.tile_overflow=truncate: highest tiles dropped)",
+                    msg,
+                )
             batch["voxel_rows"] = rows
-            batch["voxel_row_ids"] = row_ids
+            batch["voxel_row_ids"] = local_ids
         else:
             batch["voxel_flat"] = flat
             batch["voxel_rgb"] = rgb
@@ -154,8 +156,9 @@ class BatchIterator:
         voxel_size: int = 64,
         with_images: bool = True,
         with_voxels: bool = True,
-        tile_budget_frac: float = 0.5,
+        tile_budget: "int | str" = "auto",
         windowed_halo: int = 1,
+        tile_overflow: str = "error",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -167,9 +170,34 @@ class BatchIterator:
         self.voxel_size = voxel_size
         self.with_images = with_images
         self.with_voxels = with_voxels
-        self.tile_budget_frac = tile_budget_frac
+        self.tile_budget = tile_budget
         self.windowed_halo = windowed_halo
+        self.tile_overflow = tile_overflow
+        self._tile_budget_rows: int | None = None
         self.epoch = 0
+
+    @property
+    def tile_budget_rows(self) -> int:
+        """The resolved per-sample windowed_compact row count k.
+
+        "auto" fits the split's measured max per-sample active-tile count
+        (dataset.max_voxel_tiles) — truncation is then impossible by
+        construction; an int is taken as-is. Single definition in
+        ops/tile_sparse.sample_tile_budget (bench.py and the dryrun derive
+        k the same way so host row shapes always match the encoder)."""
+        if self._tile_budget_rows is None:
+            from ..ops.tile_sparse import sample_tile_budget
+
+            tg3 = (self.voxel_size // 8) ** 3
+            explicit = isinstance(
+                self.tile_budget, (int, float)
+            ) and not isinstance(self.tile_budget, bool)
+            self._tile_budget_rows = sample_tile_budget(
+                self.tile_budget,
+                tg3,
+                None if explicit else self.dataset.max_voxel_tiles,
+            )
+        return self._tile_budget_rows
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -207,8 +235,11 @@ class BatchIterator:
                 self.voxel_size,
                 self.with_images,
                 self.with_voxels,
-                self.tile_budget_frac,
+                self.tile_budget_rows
+                if self.voxel_transfer == "windowed_compact" and self.with_voxels
+                else 0,
                 self.windowed_halo,
+                self.tile_overflow,
             )
             batch["num_valid"] = valid
             yield batch
@@ -284,33 +315,50 @@ class DataModule:
         from ..ops.tile_sparse import windowed_halo
 
         model = self.cfg.model
-        blocks = int(model.modules.VoxelCNNEncoder.get("tile_sparse_blocks", 2))
-        if blocks > 2 and str(
-            self.cfg.data.get("voxel_transfer", "packed")
-        ).startswith("windowed"):
-            import warnings
+        voxel_cfg = model.modules.VoxelCNNEncoder
+        blocks = int(voxel_cfg.get("tile_sparse_blocks", 2))
+        transfer = str(self.cfg.data.get("voxel_transfer", "packed"))
+        if transfer.startswith("windowed") and model.voxel_encoder is not None:
+            if blocks > 2:
+                import warnings
 
-            warnings.warn(
-                f"tile_sparse_blocks={blocks} with a windowed voxel transfer: "
-                "the windowed encoder derives its sparse depth from the row "
-                "halo and supports at most 2 sparse blocks — running 2. Use "
-                "voxel_transfer=dense with tile_sparse=true for deeper "
-                "sparse stacks.",
-                stacklevel=2,
-            )
+                warnings.warn(
+                    f"tile_sparse_blocks={blocks} with a windowed voxel "
+                    "transfer: the windowed encoder derives its sparse depth "
+                    "from the row halo and supports at most 2 sparse blocks "
+                    "— running 2. Use voxel_transfer=dense with "
+                    "tile_sparse=true for deeper sparse stacks.",
+                    stacklevel=2,
+                )
+            if not voxel_cfg.get("masked_bn", False):
+                # Windowed rows are only exact under submanifold (masked)
+                # semantics; with masked_bn=false (the torch-oracle parity
+                # path) fall back to the truncation-free packed transfer so
+                # reference-style CLI invocations keep working under the
+                # windowed_compact default.
+                import warnings
+
+                warnings.warn(
+                    f"voxel_transfer={transfer} requires masked_bn=true; "
+                    "masked_bn=false — falling back to "
+                    "data.voxel_transfer=packed (dense all-site BN path).",
+                    stacklevel=2,
+                )
+                transfer = "packed"
         return dict(
             batch_size=self.cfg.data.batch_size,
-            voxel_transfer=self.cfg.data.get("voxel_transfer", "packed"),
+            voxel_transfer=transfer,
             voxel_size=self.cfg.data.voxel_size,
             # Raw images feed only the trainable MVCNN (the CLIP image head
             # consumes precached embeddings); voxels only their encoder.
             with_images=model.image_encoder == "MVCNNEncoder",
             with_voxels=model.voxel_encoder is not None,
-            # windowed_compact sizes its row budget with the SAME formula
-            # as the encoder — keep the two in lockstep via the config key.
-            tile_budget_frac=float(
-                model.modules.VoxelCNNEncoder.get("tile_budget_frac", 0.5)
-            ),
+            # Per-sample windowed_compact row budget: "auto" (default) fits
+            # the split's measured max per-sample tile count so truncation
+            # is impossible; an int pins k (overflow then follows
+            # data.tile_overflow: error | truncate).
+            tile_budget=voxel_cfg.get("tile_budget", "auto"),
+            tile_overflow=str(self.cfg.data.get("tile_overflow", "error")),
             # windowed halo follows the encoder's sparse depth (single
             # definition in ops/tile_sparse.py): ≥2 blocks need each
             # tile's full block-2 support (14³ rows, halo 3).

@@ -234,3 +234,4 @@ class StructuredSyntheticDataset:
         return len(self.language_data)
 
     __getitem__ = GeneralDataset.__getitem__
+    max_voxel_tiles = GeneralDataset.max_voxel_tiles

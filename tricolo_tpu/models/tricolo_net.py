@@ -184,9 +184,6 @@ class TriCoLoNet(nn.Module):
                 tile_sparse_blocks=self.voxel_tile_sparse_blocks,
                 tile_budget_frac=self.voxel_tile_budget_frac,
                 scatter_layout=self.voxel_scatter_layout,
-                # compact windowed rows carry no batch axis; B is static
-                # from the token batch
-                windowed_batch=batch["tokens"].shape[0],
                 name="voxel_encoder",
             )
             if "voxel_windows" in batch:
@@ -196,8 +193,8 @@ class TriCoLoNet(nn.Module):
                     batch["voxel_windows"], batch["voxel_tile_occ"],
                 )
             elif "voxel_rows" in batch:
-                # data.voxel_transfer=windowed_compact: host-compacted
-                # active rows + their tile ids
+                # data.voxel_transfer=windowed_compact: per-sample host-
+                # compacted active rows (B, k, s³) + local tile ids (B, k)
                 output["voxel_features"] = enc(
                     None, train, deterministic,
                     batch["voxel_rows"], None, batch["voxel_row_ids"],

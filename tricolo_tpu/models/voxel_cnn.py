@@ -270,10 +270,6 @@ class VoxelCNNEncoder(nn.Module):
     # tile-major rows + transpose, "lines" = direct NDHWC line-segment
     # scatter (no transpose pass). Exact either way (tested).
     scatter_layout: str | None = None
-    # Batch size for the COMPACT windowed input (voxel_transfer=
-    # windowed_compact): the compacted rows carry no per-sample axis, so
-    # the caller (TriCoLoNet) pins B here — it is static anyway.
-    windowed_batch: int | None = None
 
     @nn.compact
     def __call__(
@@ -393,18 +389,21 @@ class VoxelCNNEncoder(nn.Module):
         Full mode (voxel_transfer=windowed): ``windows`` (B·tg³, s³) u32
         packed rows (s = 10) + ``tile_occ`` (B·tg³,) occupancy — the active
         rows are taken on device. Compact mode (windowed_compact):
-        ``windows`` (budget, s³) already holds ONLY the active rows,
-        ``row_ids`` (budget,) their flattened tile ids (B·tg³-sentinel
-        padding), and ``windowed_batch`` pins B. Same variable tree as the
-        dense path (ConvBlock_0..4 + MLPHead_0 in order), so checkpoints
-        interchange. Runs inside the parent's nn.compact scope.
+        ``windows`` (B, k, s³) already holds ONLY each sample's active
+        rows, ``row_ids`` (B, k) their LOCAL tile ids (tg³-sentinel
+        padding). The per-sample compact axes shard with the batch under a
+        data-parallel mesh, so the whole tile-sparse stack — conv rows and
+        the tile→grid scatter (scatter_tiles_ps) — stays shard-local.
+        Same variable tree as the dense path (ConvBlock_0..4 + MLPHead_0
+        in order), so checkpoints interchange. Runs inside the parent's
+        nn.compact scope.
         """
         if not self.masked_bn:
             # Windowed rows are inherently tile-sparse input; only the
             # masked (submanifold) semantics makes that restriction exact.
             raise ValueError("windowed voxel input requires masked_bn=true")
         from ..data.device_prep import unpack_dense_voxels
-        from ..ops.tile_sparse import scatter_tiles
+        from ..ops.tile_sparse import scatter_tiles, scatter_tiles_ps
 
         tile0 = 8
         # Halo is encoded in the row length: s³ with s = 8 + 2·halo.
@@ -413,7 +412,7 @@ class VoxelCNNEncoder(nn.Module):
         # block-1 output rows are block-2's windows — no inter-block
         # gather exists; the halo ring recomputes neighbor values, exact
         # under the two-mask BN below).
-        s3_in = windows.shape[-1] if windows.ndim == 2 else None
+        s3_in = windows.shape[-1]
         for halo in (1, 3):
             if (tile0 + 2 * halo) ** 3 == s3_in:
                 break
@@ -426,14 +425,14 @@ class VoxelCNNEncoder(nn.Module):
         tg3 = (self.voxel_size // tile0) ** 3
         compute_dtype = self.dtype or jnp.float32
         if row_ids is not None:
-            if self.windowed_batch is None:
+            if windows.ndim != 3 or row_ids.ndim != 2:
                 raise ValueError(
-                    "compact windowed input requires windowed_batch (the "
-                    "rows carry no per-sample axis to infer it from)"
+                    "compact windowed input must be per-sample: rows "
+                    f"(B, k, s³) + local ids (B, k); got {windows.shape} / "
+                    f"{row_ids.shape}"
                 )
-            batch = self.windowed_batch
-            n_rows = batch * tg3
-            ids = row_ids
+            batch, k = windows.shape[0], windows.shape[1]
+            ids = None
             rows = windows  # host-compacted: padding rows are already zero
         else:
             from ..ops.tile_sparse import tile_budget
@@ -499,8 +498,21 @@ class VoxelCNNEncoder(nn.Module):
             )(x_t, train=train, mask=m2)
             n_dense_from = 2
             grid = self.voxel_size // 4
-        x = scatter_tiles(x_t, ids, batch, grid, layout=self.scatter_layout)
-        mask = scatter_tiles(m_t, ids, batch, grid, layout=self.scatter_layout)
+        if ids is None:
+            # Per-sample compact rows: shard-local scatter keyed by the
+            # (B, k) local ids — the row→sample mapping is the leading axis.
+            t = x_t.shape[1]
+            x = scatter_tiles_ps(
+                x_t.reshape(batch, k, t, t, t, -1), row_ids, grid,
+                layout=self.scatter_layout,
+            )
+            mask = scatter_tiles_ps(
+                m_t.reshape(batch, k, t, t, t, -1), row_ids, grid,
+                layout=self.scatter_layout,
+            )
+        else:
+            x = scatter_tiles(x_t, ids, batch, grid, layout=self.scatter_layout)
+            mask = scatter_tiles(m_t, ids, batch, grid, layout=self.scatter_layout)
         for features in channels[n_dense_from:]:
             x, mask = ConvBlock(
                 features,

@@ -18,7 +18,7 @@ import subprocess
 
 import numpy as np
 
-_ABI_VERSION = 7
+_ABI_VERSION = 8
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(os.path.dirname(_HERE))
 _SRC_DIR = os.path.join(_REPO_ROOT, "native")
@@ -59,11 +59,11 @@ def _bind(lib: ctypes.CDLL):
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_void_p,
     ]
-    lib.tricolo_packed_to_windowed_compact.restype = ctypes.c_int64
+    lib.tricolo_packed_to_windowed_compact.restype = None
     lib.tricolo_packed_to_windowed_compact.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
 
 
@@ -162,29 +162,33 @@ def packed_to_windowed(
 
 
 def packed_to_windowed_compact(
-    flat: np.ndarray, rgb: np.ndarray, d: int, budget: int,
+    flat: np.ndarray, rgb: np.ndarray, d: int, k: int,
     tile: int = 8, halo: int = 1,
 ):
-    """Packed (B, N) u32 pairs → compacted halo'd window rows.
+    """Packed (B, N) u32 pairs → PER-SAMPLE compacted halo'd window rows.
 
-    Returns (rows (budget, s³) u32, row_ids (budget,) i32, total active
-    tiles) — rows only for the first ``budget`` active tiles in ascending
-    flattened-tile-id order (the device's nonzero(size=) truncation rule);
-    row_ids padding is the B·tg³ sentinel. ~5-10× less host writing and
-    H2D than the full windowed layout at solid-shape occupancy."""
+    Returns (rows (B, k, s³) u32, local_ids (B, k) i32, counts (B,) i32):
+    each sample's rows cover its first ``k`` active tiles in ascending
+    tile-id order (the device's nonzero(size=) truncation rule); local_ids
+    padding is the tg³ sentinel; counts holds each sample's TOTAL active
+    tiles (count > k ⇒ truncation — the loader decides error vs warn).
+    The per-sample axis lets the rows shard with their samples under a
+    data-parallel mesh. ~5-10× less host writing and H2D than the full
+    windowed layout at solid-shape occupancy."""
     if not available():
         raise RuntimeError("native library unavailable; use the numpy fallback")
     flat = np.ascontiguousarray(flat, dtype=np.uint32)
     rgb = np.ascontiguousarray(rgb, dtype=np.uint32)
     batch, n_points = flat.shape
     s = tile + 2 * halo
-    rows = np.empty((budget, s**3), np.uint32)
-    row_ids = np.empty(budget, np.int32)
-    total = _lib.tricolo_packed_to_windowed_compact(
+    rows = np.empty((batch, k, s**3), np.uint32)
+    local_ids = np.empty((batch, k), np.int32)
+    counts = np.empty(batch, np.int32)
+    _lib.tricolo_packed_to_windowed_compact(
         flat.ctypes.data, rgb.ctypes.data, batch, n_points, d, tile, halo,
-        budget, rows.ctypes.data, row_ids.ctypes.data,
+        k, rows.ctypes.data, local_ids.ctypes.data, counts.ctypes.data,
     )
-    return rows, row_ids, int(total)
+    return rows, local_ids, counts
 
 
 def load_npz_voxels_packed(path: str, member: str, n_cap: int | None = None):

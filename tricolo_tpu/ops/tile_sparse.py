@@ -54,13 +54,13 @@ import jax
 import jax.numpy as jnp
 
 
-def host_tile_count(flat_u32, voxel_size: int, tile: int = 8) -> int:
-    """Total active tiles in a packed host batch (numpy, for the trainer's
-    budget diagnostic). flat_u32: (B, N) packed x|y|z site words with
-    0xFFFFFFFF padding (device_prep convention)."""
+def host_sample_tile_counts(flat_u32, voxel_size: int, tile: int = 8):
+    """Per-sample active-tile counts of a packed host batch (numpy).
+    flat_u32: (B, N) packed x|y|z site words with 0xFFFFFFFF padding
+    (device_prep convention). Returns an int list of length B."""
     import numpy as np
 
-    total = 0
+    counts = []
     tg = voxel_size // tile
     for row in flat_u32:
         sites = row[row != np.uint32(0xFFFFFFFF)]
@@ -68,8 +68,14 @@ def host_tile_count(flat_u32, voxel_size: int, tile: int = 8) -> int:
         y = (sites >> 8) & 0xFF
         z = sites & 0xFF
         tid = ((x // tile) * tg + (y // tile)) * tg + (z // tile)
-        total += len(np.unique(tid))
-    return int(total)
+        counts.append(len(np.unique(tid)))
+    return counts
+
+
+def host_tile_count(flat_u32, voxel_size: int, tile: int = 8) -> int:
+    """Total active tiles in a packed host batch (numpy, for the trainer's
+    budget diagnostic)."""
+    return int(sum(host_sample_tile_counts(flat_u32, voxel_size, tile)))
 
 
 def tile_counts(mask: jax.Array, tile: int) -> jax.Array:
@@ -81,17 +87,51 @@ def tile_counts(mask: jax.Array, tile: int) -> jax.Array:
 
 
 def tile_budget(frac: float, batch: int, tg3: int) -> int:
-    """The static active-tile budget: ceil(frac·batch·tg3 / 256)·256,
+    """The static GLOBAL active-tile budget: ceil(frac·batch·tg3/256)·256,
     clamped to the physical tile count.
 
-    Every producer and consumer of windowed/tile-sparse rows — host collate
-    (data/loader.py), the encoder (models/voxel_cnn.py), the trainer's
-    truncation canary (training/trainer.py) and bench.py — must derive the
-    SAME number or host-shipped row counts stop matching the encoder's
-    static shapes; this helper is the single definition.
+    Used by the device-side compactions — the dense-input tile-sparse plan
+    and the full-windowed transfer's on-device row take — and the
+    trainer's truncation canary; single definition so they agree. (The
+    windowed_compact host path budgets PER SAMPLE instead:
+    sample_tile_budget below.)
     """
     budget = -(-int(frac * batch * tg3) // 256) * 256
     return min(budget, batch * tg3)
+
+
+def sample_tile_budget(budget, tg3: int, max_tiles: int | None = None) -> int:
+    """The PER-SAMPLE active-tile row budget k for windowed_compact.
+
+    The compacted rows carry a per-sample axis ((B, k, s³) — so batch
+    shards carry their own rows under a data-parallel mesh, and the
+    tile→grid scatter stays shard-local), so the budget is per sample:
+
+    * ``budget`` int > 0 — explicit row count per sample (overflow policy
+      is the loader's ``data.tile_overflow``: error | truncate);
+    * ``"auto"`` / None — fitted: the split's measured max per-sample
+      active-tile count (``max_tiles``), which makes truncation impossible
+      for that split by construction.
+
+    Rounded up to a multiple of 8 (layout friendliness; B·k then lands on
+    ≥64-multiples at any real batch), clamped to the physical tg³. Single
+    definition for every producer/consumer — host collate
+    (data/loader.py), bench.py and the dryrun must derive the SAME k or
+    host row shapes stop matching the encoder's static shapes.
+    """
+    if isinstance(budget, (int, float)) and not isinstance(budget, bool):
+        k = int(budget)
+        if k <= 0:
+            raise ValueError(f"tile_budget must be positive, got {budget}")
+    else:
+        if max_tiles is None:
+            raise ValueError(
+                "tile_budget='auto' needs the split's measured max per-"
+                "sample tile count (dataset.max_voxel_tiles)"
+            )
+        k = int(max_tiles)
+    k = max(8, -(-k // 8) * 8)
+    return min(k, tg3)
 
 
 def windowed_halo(tile_sparse_blocks: int) -> int:
@@ -302,6 +342,123 @@ def scatter_tiles(
     return jnp.transpose(t8, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
         batch, grid, grid, grid, C
     )
+
+
+def scatter_tiles_ps(
+    tiles: jax.Array,
+    local_ids: jax.Array,
+    grid: int,
+    layout: str | None = None,
+) -> jax.Array:
+    """Per-sample tile scatter: (B, k, t, t, t, C) disjoint tiles with
+    (B, k) LOCAL tile ids (ascending per sample, in [0, tg³); padding ≥
+    tg³) → dense (B, grid, grid, grid, C), zeros background.
+
+    The windowed_compact layout carries a per-sample axis so batch shards
+    carry their own rows under a data-parallel mesh; this scatter stays
+    shard-local because every target row of sample b belongs to sample b.
+    The sorted+unique index promises survive per-sample compaction by
+    giving each sample its own trash region INSIDE the flat buffer
+    (row b·(tg³+k)+tg³+j), keeping the flattened index vector globally
+    ascending — a tail trash region (the global scatter_tiles trick) would
+    interleave descending across samples and break the promise silently.
+
+    Layouts mirror scatter_tiles: "transpose" (rows + free-form transpose)
+    and "lines" (direct NDHWC line segments, per-(dz,hy) scatters).
+    """
+    if layout is None:
+        layout = SCATTER_LAYOUT
+    if layout == "lines" and tiles.shape[2] * tiles.shape[-1] >= 128:
+        return _scatter_tiles_lines_ps(tiles, local_ids, grid)
+    B, k, tile = tiles.shape[0], tiles.shape[1], tiles.shape[2]
+    C = tiles.shape[-1]
+    tg = grid // tile
+    n = tg**3
+    stride = n + k
+    j = jnp.arange(k, dtype=local_ids.dtype)[None, :]
+    safe = jnp.where(local_ids < n, local_ids, n + j)
+    flat_idx = (
+        jnp.arange(B, dtype=local_ids.dtype)[:, None] * stride + safe
+    ).reshape(-1)
+    buf = jnp.zeros((B * stride, tile**3 * C), tiles.dtype)
+    buf = buf.at[flat_idx].set(
+        tiles.reshape(B * k, -1), indices_are_sorted=True, unique_indices=True
+    )
+    t8 = buf.reshape(B, stride, -1)[:, :n].reshape(
+        B, tg, tg, tg, tile, tile, tile, C
+    )
+    return jnp.transpose(t8, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
+        B, grid, grid, grid, C
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _scatter_tiles_lines_ps(tiles, local_ids, grid):
+    out, _ = _lines_ps_fwd(tiles, local_ids, grid)
+    return out
+
+
+def _ps_line_index(local_ids, tile, tg, grid):
+    """Per-sample NDHWC line-segment index for a LOCAL tile id at fixed
+    intra-tile (dz, hy): monotonic in the id (same dominance argument as
+    _line_ids, without the sample term)."""
+    tx = local_ids % tg
+    r = local_ids // tg
+    ty = r % tg
+    tz = r // tg
+    return tz, ty, tx
+
+
+def _lines_ps_fwd(tiles, local_ids, grid):
+    B, k, tile = tiles.shape[0], tiles.shape[1], tiles.shape[2]
+    C = tiles.shape[-1]
+    tg = grid // tile
+    n = tg**3
+    lines_per_sample = grid * grid * tg
+    stride = lines_per_sample + k
+    tz, ty, tx = _ps_line_index(local_ids, tile, tg, grid)
+    valid = local_ids < n
+    j = jnp.arange(k, dtype=local_ids.dtype)[None, :]
+    b = jnp.arange(B, dtype=local_ids.dtype)[:, None]
+    src = tiles.reshape(B * k, tile, tile, tile * C)
+    buf = jnp.zeros((B * stride, tile * C), tiles.dtype)
+    for dz in range(tile):
+        for hy in range(tile):
+            line = ((tile * tz + dz) * grid + tile * ty + hy) * tg + tx
+            line = jnp.where(valid, line, lines_per_sample + j)
+            buf = buf.at[(b * stride + line).reshape(-1)].set(
+                src[:, dz, hy], indices_are_sorted=True, unique_indices=True
+            )
+    out = buf.reshape(B, stride, tile * C)[:, :lines_per_sample].reshape(
+        B, grid, grid, grid, C
+    )
+    return out, (local_ids, tiles.shape)
+
+
+def _lines_ps_bwd(grid, residuals, dy):
+    local_ids, tiles_shape = residuals
+    B, k, tile = tiles_shape[0], tiles_shape[1], tiles_shape[2]
+    C = tiles_shape[-1]
+    tg = grid // tile
+    n = tg**3
+    lines_per_sample = grid * grid * tg
+    lines = dy.reshape(B * lines_per_sample, tile * C)
+    tz, ty, tx = _ps_line_index(local_ids, tile, tg, grid)
+    valid = local_ids < n
+    b = jnp.arange(B, dtype=local_ids.dtype)[:, None]
+    parts = []
+    for dz in range(tile):
+        for hy in range(tile):
+            line = ((tile * tz + dz) * grid + tile * ty + hy) * tg + tx
+            flat = jnp.where(
+                valid, b * lines_per_sample + line, B * lines_per_sample
+            ).reshape(-1)
+            parts.append(_take_rows(lines, flat, B * lines_per_sample))
+    d_tiles = jnp.stack(parts, axis=1).reshape(tiles_shape)
+    return d_tiles, None
+
+
+_scatter_tiles_lines_ps.defvjp(_lines_ps_fwd, _lines_ps_bwd)
 
 
 def _line_ids(ids: jax.Array, tile: int, tg: int, grid: int):

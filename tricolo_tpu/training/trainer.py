@@ -106,8 +106,11 @@ class Trainer:
         # The budget truncates on every path that consumes it: the dense
         # tile_sparse plan AND the windowed transfers (whose encoder runs
         # tile-sparse regardless of the tile_sparse flag). windowed_compact
-        # truncates on the host — the collate warns there with the exact
-        # count — so the canary covers the remaining device-side cases.
+        # is handled in the loader — tile_budget=auto makes truncation
+        # impossible and an explicit over-tight budget hard-fails per batch
+        # (data.tile_overflow) — so the canary covers the remaining
+        # device-side cases (its batches carry no voxel_rows key and fall
+        # through the chain below).
         windowed = str(self.cfg.data.get("voxel_transfer", "packed")).startswith(
             "windowed"
         )
