@@ -51,6 +51,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # suite is the default. Markers registered in pyproject.toml.
 _SLOW_MODULES = {
     "test_e2e_oracle",
+    "test_fullchain_cli",
     "test_serving",
     "test_efficientnet",
     "test_encoders",

@@ -520,8 +520,6 @@ class TestWindowedTransfer:
         """An explicit too-small tile_budget hard-fails by default
         (data.tile_overflow=error) and truncates loudly per batch under
         tile_overflow=truncate."""
-        import logging
-
         from tricolo_tpu.config import load_config
         from tricolo_tpu.data import DataModule
 

@@ -29,6 +29,15 @@ def _apply_platform_override(cfg):
             os.environ["XLA_FLAGS"] = (
                 os.environ.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={count}"
             ).strip()
+        if platform == "cpu" and "xla_cpu_collective_call_terminate_timeout_seconds" not in os.environ.get("XLA_FLAGS", ""):
+            # XLA:CPU collectives abort after a hard 40 s rendezvous
+            # timeout; virtual devices serialize on few-core hosts and
+            # legitimately skew past it (see tests/conftest.py).
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+                + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+            ).strip()
         import jax
 
         jax.config.update("jax_platforms", platform)
