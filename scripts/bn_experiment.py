@@ -38,6 +38,7 @@ def run_one(
     models: int,
     out_root: str,
     extra: list[str] = (),
+    tag: str = "",
 ) -> dict:
     import numpy as np
 
@@ -56,7 +57,7 @@ def run_one(
         "trainer.profiler=none",
         "logger.backend=jsonl",
         f"project_root_path={out_root}",
-        f"experiment_name=bn_{mode}_s{seed}",
+        f"experiment_name=bn_{mode}{tag}_s{seed}",
         "checkpoint_monitor.save_top_k=0",
     ]
     # Both arms explicit: the config DEFAULT flipped to masked_bn=true when
@@ -113,6 +114,12 @@ def main():
     ap.add_argument("--out", default="experiments/bn_experiment.json")
     ap.add_argument("--modes", nargs="+", default=["dense", "masked"])
     ap.add_argument(
+        "--tag",
+        default="",
+        help="experiment-name suffix so A/B arms (e.g. --extra "
+        "precision.compute_dtype=float32 --tag _f32) don't collide",
+    )
+    ap.add_argument(
         "--extra",
         nargs="*",
         default=[],
@@ -144,6 +151,7 @@ def main():
                 run_one(
                     mode, seed, args.epochs, args.models, out_root,
                     [o for o in args.extra if o != "+platform=cpu"],
+                    args.tag,
                 )
             )
 

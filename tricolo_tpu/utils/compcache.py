@@ -50,12 +50,51 @@ def _host_cpu_features() -> str:
     return f"{platform.machine()} {platform.processor()}"
 
 
-def compilation_cache_dir() -> str:
-    """/tmp cache dir namespaced by jaxlib version, python version, and an
-    8-hex-digit hash of the host CPU feature flags."""
+def cache_namespace() -> str:
+    """jaxlib version + python version + 8-hex CPU-feature hash — the only
+    hosts that may share XLA:CPU AOT entries."""
     import jaxlib
 
     feat_hash = hashlib.sha256(_host_cpu_features().encode()).hexdigest()[:8]
-    return "/tmp/jax_comp_cache_{}_py{}{}_{}".format(
+    return "{}_py{}{}_{}".format(
         jaxlib.__version__, sys.version_info[0], sys.version_info[1], feat_hash
     )
+
+
+def compilation_cache_dir(seed_from_repo: bool = True) -> str:
+    """/tmp cache dir namespaced by `cache_namespace()`.
+
+    When the repo ships a prebuilt cache for THIS namespace
+    (tests/compile_cache/<namespace>/ — safe by construction: the
+    namespace encodes exactly the compatibility surface), its entries are
+    hard-linked/copied into the /tmp dir once, so a cold clone's first
+    full test run skips the multi-minute XLA:CPU mesh-program compiles.
+    """
+    ns = cache_namespace()
+    path = "/tmp/jax_comp_cache_" + ns
+    if seed_from_repo:
+        import os
+
+        repo_seed = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "tests",
+            "compile_cache",
+            ns,
+        )
+        if os.path.isdir(repo_seed):
+            os.makedirs(path, exist_ok=True)
+            import shutil
+
+            for name in os.listdir(repo_seed):
+                dst = os.path.join(path, name)
+                if os.path.exists(dst):
+                    continue
+                src = os.path.join(repo_seed, name)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    try:
+                        shutil.copy2(src, dst)
+                    except OSError:
+                        pass  # seeding is best-effort; compile as usual
+    return path
