@@ -248,12 +248,26 @@ def main():
     trace_ctx = (
         jax.profiler.trace(args.trace) if args.trace else contextlib.nullcontext()
     )
-    tic = time.perf_counter()
-    with trace_ctx:
-        for i in range(steps):
+
+    def timed_loop(n):
+        nonlocal state
+        tic = time.perf_counter()
+        for i in range(n):
             state, losses = train_step(state, batches[i % 2], lr, rng)
         float(losses["train_loss/total_loss"])  # sync: drains the whole chain
-    elapsed = time.perf_counter() - tic
+        return time.perf_counter() - tic
+
+    # Two-point measurement (PERF.md "Measurement note"): the loop's only
+    # reliable sync is a device→host fetch, which on the tunneled runtime
+    # costs a ~33 ms round trip — at 20 steps that is ~1.7 ms/step of pure
+    # HOST LATENCY billed to the device step. Timing N and 2N steps and
+    # differencing cancels every constant per-loop cost exactly, leaving
+    # the steady-state per-step time (what a production host, whose fetch
+    # costs microseconds, actually pays).
+    with trace_ctx:
+        e1 = timed_loop(steps)
+    e2 = timed_loop(2 * steps)
+    elapsed = e2 - e1
 
     pairs_per_sec = cfg.data.batch_size * steps / elapsed
     per_chip = pairs_per_sec / mesh.size

@@ -110,6 +110,8 @@ class TestTileOps:
             ("transpose", 2, 64),
             ("lines", 2, 64),  # flagship halo-3 handoff: t·C = 128 lines
             ("lines", 2, 1),  # t·C < 128 → transpose fallback inside
+            ("hybrid", 2, 64),  # transpose fwd + line-gather bwd
+            ("hybrid", 2, 1),  # fallback
         ],
     )
     def test_scatter_ps_matches_global(self, layout, tile, C):
@@ -160,8 +162,8 @@ class TestTileOps:
         np.testing.assert_array_equal(np.asarray(g_out), np.asarray(g_ref))
 
     def test_sample_tile_budget(self):
-        assert sample_tile_budget(100, 512) == 104  # /8 rounding
-        assert sample_tile_budget("auto", 512, max_tiles=130) == 136
+        assert sample_tile_budget(100, 512) == 100  # exact, no rounding
+        assert sample_tile_budget("auto", 512, max_tiles=130) == 130
         assert sample_tile_budget("auto", 64, max_tiles=130) == 64  # clamp
         assert sample_tile_budget(3, 512) == 8  # floor
         with pytest.raises(ValueError, match="max per-"):

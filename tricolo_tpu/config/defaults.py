@@ -232,10 +232,13 @@ def default_config() -> ConfigNode:
                 # optimizer state and loss.
                 "compute_dtype": "bfloat16",
                 "param_dtype": "float32",
-                # XLA scoped-VMEM budget for the step programs (TPU only):
-                # 64 MiB beats the 16 MiB default by ~3% step time on v5e
-                # via deeper fusions (PERF.md). 0/null keeps XLA's default.
-                "scoped_vmem_kib": 65536,
+                # XLA scoped-VMEM budget for the step programs (TPU only).
+                # Re-tuned per program generation: 32 MiB wins on the
+                # round-4 per-sample windowed flagship (2508-2525 vs
+                # 2429 @16MiB / 2451-2476 @64MiB / 2430 @96MiB pairs/s on
+                # v5e — PERF.md round 4; round 3's 64 MiB pick was tuned
+                # on the pre-halo-3 program). 0/null keeps XLA's default.
+                "scoped_vmem_kib": 32768,
                 # Rematerialize the voxel encoder in backward. Off at 64³
                 # (neutral, PERF.md "Remat"); required part of the 128³
                 # memory plan (with data.batch_size=32 on a 16 GB chip).

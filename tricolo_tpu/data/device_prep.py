@@ -111,6 +111,32 @@ def densify_voxels(
     return unpack_dense_voxels(grid, dtype, with_mask)
 
 
+def unpack_windowed_rows(rows_u32: jax.Array, dtype=jnp.float32):
+    """Packed u32 window rows → (rgb0 float (..., 4), mask float (..., 1)).
+
+    The windowed encoder's input unpack, shaped for the conv directly:
+    the 4th input channel is the ZERO pad channel
+    (padded_rgb_conv_kernel_init), NOT the occupancy bit — emitting it
+    here (one multi-output elementwise pass) instead of
+    stack→slice→pad over `unpack_dense_voxels`'s 4-channel output saves
+    two full materializations of the row tensor (~9 → 5 channel-planes
+    of HBM writes at flagship scale; the round-4 trace priced the old
+    chain at 1.9 ms/step).
+    """
+    zero = jnp.zeros(rows_u32.shape, dtype)
+    x = jnp.stack(
+        [
+            (rows_u32 & 0xFF).astype(dtype) / 255.0,
+            ((rows_u32 >> 8) & 0xFF).astype(dtype) / 255.0,
+            ((rows_u32 >> 16) & 0xFF).astype(dtype) / 255.0,
+            zero,
+        ],
+        axis=-1,
+    )
+    mask = ((rows_u32 >> 24) & 0x1).astype(dtype)[..., None]
+    return x, mask
+
+
 def unpack_dense_voxels(
     grid_u32: jax.Array, dtype=jnp.float32, with_mask: bool = False
 ) -> jax.Array:

@@ -402,7 +402,7 @@ class VoxelCNNEncoder(nn.Module):
             # Windowed rows are inherently tile-sparse input; only the
             # masked (submanifold) semantics makes that restriction exact.
             raise ValueError("windowed voxel input requires masked_bn=true")
-        from ..data.device_prep import unpack_dense_voxels
+        from ..data.device_prep import unpack_windowed_rows
         from ..ops.tile_sparse import scatter_tiles, scatter_tiles_ps
 
         tile0 = 8
@@ -445,12 +445,13 @@ class VoxelCNNEncoder(nn.Module):
             ids = ids.astype(jnp.int32)
             valid = ids < n_rows
             rows = jnp.where(valid[:, None], windows[jnp.where(valid, ids, 0)], 0)
-        unpacked = unpack_dense_voxels(
-            rows.reshape(-1, s, s, s), compute_dtype, with_mask=True
+        # One multi-output elementwise pass: RGB (zero-padded to 4 channels,
+        # see padded_rgb_conv_kernel_init) + the occupancy mask — the
+        # stack→slice→pad chain over a 4-channel unpack cost ~1.9 ms/step
+        # of extra HBM materializations at flagship scale (round-4 trace).
+        x_t, m_full = unpack_windowed_rows(
+            rows.reshape(-1, s, s, s), compute_dtype
         )
-        # RGB zero-padded to 4 channels (see padded_rgb_conv_kernel_init).
-        x_t = jnp.pad(unpacked[..., :3], ((0, 0),) * 4 + ((0, 1),))
-        m_full = unpacked[..., 3:]
 
         channels = (self.ef_dim, self.ef_dim * 2, self.ef_dim * 4, self.ef_dim * 8, self.z_dim)
         if halo == 1:

@@ -113,11 +113,14 @@ def sample_tile_budget(budget, tg3: int, max_tiles: int | None = None) -> int:
       active-tile count (``max_tiles``), which makes truncation impossible
       for that split by construction.
 
-    Rounded up to a multiple of 8 (layout friendliness; B·k then lands on
-    ≥64-multiples at any real batch), clamped to the physical tg³. Single
-    definition for every producer/consumer — host collate
-    (data/loader.py), bench.py and the dryrun must derive the SAME k or
-    host row shapes stop matching the encoder's static shapes.
+    k is NOT rounded up beyond a floor of 8: it is a middle dim of the
+    (B, k, s³) rows — the lane/sublane dims are inside s³·C — so padding
+    it buys no layout alignment and every extra row is pure wasted sparse
+    compute (an 8-multiple k measured ~0.5 ms/step at flagship scale).
+    Clamped to the physical tg³. Single definition for every
+    producer/consumer — host collate (data/loader.py), bench.py and the
+    dryrun must derive the SAME k or host row shapes stop matching the
+    encoder's static shapes.
     """
     if isinstance(budget, (int, float)) and not isinstance(budget, bool):
         k = int(budget)
@@ -130,8 +133,7 @@ def sample_tile_budget(budget, tg3: int, max_tiles: int | None = None) -> int:
                 "sample tile count (dataset.max_voxel_tiles)"
             )
         k = int(max_tiles)
-    k = max(8, -(-k // 8) * 8)
-    return min(k, tg3)
+    return min(max(8, k), tg3)
 
 
 def windowed_halo(tile_sparse_blocks: int) -> int:
@@ -363,13 +365,25 @@ def scatter_tiles_ps(
     ascending — a tail trash region (the global scatter_tiles trick) would
     interleave descending across samples and break the promise silently.
 
-    Layouts mirror scatter_tiles: "transpose" (rows + free-form transpose)
-    and "lines" (direct NDHWC line segments, per-(dz,hy) scatters).
+    Layouts mirror scatter_tiles: "transpose" (rows + free-form transpose),
+    "lines" (direct NDHWC line segments, per-(dz,hy) scatters), plus
+    "hybrid" — the transpose FORWARD (the measured fwd winner) with the
+    line-gather BACKWARD (d_tiles read straight out of NDHWC dy as
+    per-(dz,hy) 128-wide line rows, skipping the inverse free-form
+    transpose — the one sub-50%-of-roofline op left in the flagship
+    backward). All exact; pick by end-to-end bench.
     """
     if layout is None:
         layout = SCATTER_LAYOUT
-    if layout == "lines" and tiles.shape[2] * tiles.shape[-1] >= 128:
+    wide = tiles.shape[2] * tiles.shape[-1] >= 128
+    if layout == "lines" and wide:
         return _scatter_tiles_lines_ps(tiles, local_ids, grid)
+    if layout == "hybrid" and wide:
+        return _scatter_tiles_hybrid_ps(tiles, local_ids, grid)
+    return _transpose_scatter_ps(tiles, local_ids, grid)
+
+
+def _transpose_scatter_ps(tiles, local_ids, grid):
     B, k, tile = tiles.shape[0], tiles.shape[1], tiles.shape[2]
     C = tiles.shape[-1]
     tg = grid // tile
@@ -390,6 +404,24 @@ def scatter_tiles_ps(
     return jnp.transpose(t8, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
         B, grid, grid, grid, C
     )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _scatter_tiles_hybrid_ps(tiles, local_ids, grid):
+    out, _ = _hybrid_ps_fwd(tiles, local_ids, grid)
+    return out
+
+
+def _hybrid_ps_fwd(tiles, local_ids, grid):
+    return _transpose_scatter_ps(tiles, local_ids, grid), (
+        local_ids,
+        tiles.shape,
+    )
+
+
+_scatter_tiles_hybrid_ps.defvjp(
+    _hybrid_ps_fwd, lambda grid, res, dy: _lines_ps_bwd(grid, res, dy)
+)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
