@@ -44,12 +44,13 @@ def _wants_voxel_mask(cfg) -> bool:
 def _compiler_options(cfg) -> dict | None:
     """TPU-only XLA overrides for the step programs.
 
-    Raising the scoped-VMEM budget from the 16 MiB default lets XLA form
-    deeper fusions around the big voxel/image tensors: 87.2 → 84.4 ms/step
-    at 64 MiB on v5e (128 MiB was slightly worse — PERF.md). TPU-only —
-    the flag does not exist on the CPU backend the tests run on.
+    The scoped-VMEM budget is re-tuned per program generation (PERF.md):
+    64 MiB won on the round-2/3 dense program (87.2 → 84.4 ms/step on
+    v5e); 32 MiB wins on the round-4 per-sample windowed flagship
+    (2508-2525 vs 2451-2476 pairs/s) and is the config default. TPU-only
+    — the flag does not exist on the CPU backend the tests run on.
     """
-    kib = cfg.precision.get("scoped_vmem_kib", 65536)
+    kib = cfg.precision.get("scoped_vmem_kib", 32768)
     if not kib or jax.default_backend() != "tpu":
         return None
     return {"xla_tpu_scoped_vmem_limit_kib": str(int(kib))}
