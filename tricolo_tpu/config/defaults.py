@@ -172,6 +172,13 @@ def default_config() -> ConfigNode:
                         # pass). Exact either way; default chosen by
                         # end-to-end bench (PERF.md round 3).
                         "scatter_layout": "transpose",
+                        # Opt-in: express the VALID tile-row convs' input
+                        # gradient as an explicit forward conv instead of
+                        # XLA's transposed op (ops/conv3d.py) — targets
+                        # fusion.146 (30% of floor, PERF.md round-4
+                        # roofline). Same forward; grads agree to
+                        # reduction order (tests/test_conv3d.py).
+                        "explicit_dgrad": False,
                     },
                     "clip_model": "ViT-L/14",
                     "clip_feature_dim": 768,

@@ -62,6 +62,9 @@ class TriCoLoNet(nn.Module):
     voxel_tile_budget_frac: float = 0.5
     # Tile→grid handoff layout (None = ops/tile_sparse module default).
     voxel_scatter_layout: str | None = None
+    # Opt-in explicit input-gradient conv for the VALID tile-row convs
+    # (ops/conv3d.py).
+    voxel_explicit_dgrad: bool = False
     # Rematerialize the voxel stack in backward (precision.remat_voxel):
     # the 128³ memory plan — block-1 activations are (B,128³,32), 8× the
     # 64³ footprint, and recomputing them beats spilling at that size
@@ -115,6 +118,9 @@ class TriCoLoNet(nn.Module):
             ),
             voxel_scatter_layout=modules.VoxelCNNEncoder.get(
                 "scatter_layout", None
+            ),
+            voxel_explicit_dgrad=bool(
+                modules.VoxelCNNEncoder.get("explicit_dgrad", False)
             ),
             voxel_remat=bool(cfg.precision.get("remat_voxel", False)),
             clip_feature_dim=modules.clip_feature_dim,
@@ -184,6 +190,7 @@ class TriCoLoNet(nn.Module):
                 tile_sparse_blocks=self.voxel_tile_sparse_blocks,
                 tile_budget_frac=self.voxel_tile_budget_frac,
                 scatter_layout=self.voxel_scatter_layout,
+                explicit_dgrad=self.voxel_explicit_dgrad,
                 name="voxel_encoder",
             )
             if "voxel_windows" in batch:

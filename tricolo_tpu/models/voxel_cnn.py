@@ -188,6 +188,31 @@ class BNReLUPool(nn.Module):
         return pooled
 
 
+class _ValidConv3D(nn.Module):
+    """``nn.Conv(kernel 3³, VALID, no bias)`` twin whose input gradient is
+    an explicit forward conv (ops/conv3d.py). Identical forward lowering
+    and variable layout ({'kernel'}), so checkpoints interchange with the
+    nn.Conv path."""
+
+    features: int
+    kernel_init: Any
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.conv3d import conv3d_valid_explicit_dgrad
+
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (3, 3, 3, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        return conv3d_valid_explicit_dgrad(x, kernel)
+
+
 class ConvBlock(nn.Module):
     """Conv3D(k=3, no bias) → BatchNorm → ReLU → MaxPool(2).
 
@@ -203,6 +228,10 @@ class ConvBlock(nn.Module):
     fused_bn_pool: bool | None = None
     kernel_init: Any = torch_conv_kernel_init
     valid_padding: bool = False
+    # Opt-in explicit input-gradient conv for the VALID (tile-row) path
+    # (ops/conv3d.py — the auto-transposed dgrad runs at 30% of floor on
+    # v5e, PERF.md round-4 roofline). Same forward, same variable layout.
+    explicit_dgrad: bool = False
 
     @nn.compact
     def __call__(
@@ -213,15 +242,24 @@ class ConvBlock(nn.Module):
         mask: jax.Array | None = None,
         stats_mask: jax.Array | None = None,
     ):
-        x = nn.Conv(
-            self.features,
-            kernel_size=(3, 3, 3),
-            use_bias=False,
-            padding="VALID" if self.valid_padding else "SAME",
-            kernel_init=self.kernel_init,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )(x)
+        if self.valid_padding and self.explicit_dgrad:
+            x = _ValidConv3D(
+                self.features,
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(3, 3, 3),
+                use_bias=False,
+                padding="VALID" if self.valid_padding else "SAME",
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
         # BNReLUPool computes in the input array's dtype — bf16 on TPU:
         # normalizing the (B, 64³, C) block in f32 costs ~20 ms/step extra
         # HBM traffic on v5e (measured); statistics always accumulate in
@@ -270,6 +308,11 @@ class VoxelCNNEncoder(nn.Module):
     # tile-major rows + transpose, "lines" = direct NDHWC line-segment
     # scatter (no transpose pass). Exact either way (tested).
     scatter_layout: str | None = None
+    # Opt-in: express the VALID tile-row convs' input gradient as an
+    # explicit forward conv instead of XLA's transposed op
+    # (ops/conv3d.py; PERF.md round-4 roofline — fusion.146 at 30% of
+    # floor). Same forward bytes; gradients agree to reduction order.
+    explicit_dgrad: bool = False
 
     @nn.compact
     def __call__(
@@ -357,6 +400,7 @@ class VoxelCNNEncoder(nn.Module):
                 if (i == 0 and pad_rgb)
                 else torch_conv_kernel_init,
                 valid_padding=sparse,
+                explicit_dgrad=self.explicit_dgrad,
             )
             if sparse:
                 from ..ops.tile_sparse import gather_tiles, scatter_tiles
@@ -465,6 +509,7 @@ class VoxelCNNEncoder(nn.Module):
                 fused_bn_pool=self.fused_bn_pool,
                 kernel_init=padded_rgb_conv_kernel_init,
                 valid_padding=True,
+                explicit_dgrad=self.explicit_dgrad,
             )(x_t, train=train, mask=m_t)
             n_dense_from = 1
             grid = self.voxel_size // 2
@@ -486,6 +531,7 @@ class VoxelCNNEncoder(nn.Module):
                 fused_bn_pool=self.fused_bn_pool,
                 kernel_init=padded_rgb_conv_kernel_init,
                 valid_padding=True,
+                explicit_dgrad=self.explicit_dgrad,
             )(x_t, train=train, mask=mz1, stats_mask=ms1)
             # x_t (T,6³,32) = block-2's windows; pool(ms1) cropped by the
             # valid conv is block-2's (single) center mask.
@@ -496,6 +542,7 @@ class VoxelCNNEncoder(nn.Module):
                 param_dtype=self.param_dtype,
                 fused_bn_pool=self.fused_bn_pool,
                 valid_padding=True,
+                explicit_dgrad=self.explicit_dgrad,
             )(x_t, train=train, mask=m2)
             n_dense_from = 2
             grid = self.voxel_size // 4
