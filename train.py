@@ -41,6 +41,18 @@ def _apply_platform_override(cfg):
         import jax
 
         jax.config.update("jax_platforms", platform)
+        if platform == "cpu":
+            # Persist XLA:CPU compiles (namespaced by host CPU features —
+            # utils/compcache.py) so repeated CPU smoke runs and the
+            # full-chain CLI test's subprocesses skip the multi-minute
+            # 3D-conv compiles. CPU-backend-only: a warm-cache rerun with
+            # the cache configured hung the tunneled TPU runtime for 25
+            # minutes (PERF.md round 3), so the default backend stays
+            # uncached until that interaction is understood.
+            from tricolo_tpu.utils.compcache import compilation_cache_dir
+
+            jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 def main(argv: list[str] | None = None):
