@@ -174,10 +174,12 @@ def default_config() -> ConfigNode:
                         "scatter_layout": "transpose",
                         # Opt-in: express the VALID tile-row convs' input
                         # gradient as an explicit forward conv instead of
-                        # XLA's transposed op (ops/conv3d.py) — targets
-                        # fusion.146 (30% of floor, PERF.md round-4
-                        # roofline). Same forward; grads agree to
-                        # reduction order (tests/test_conv3d.py).
+                        # XLA's transposed op (ops/conv3d.py) — targeted
+                        # fusion.146 (30% of floor); the on-chip A/B
+                        # measured a wash (PERF.md round 4), so the
+                        # default stays the simpler XLA derivation. Same
+                        # forward; grads agree to reduction order
+                        # (tests/test_conv3d.py).
                         "explicit_dgrad": False,
                     },
                     "clip_model": "ViT-L/14",
