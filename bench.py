@@ -263,11 +263,20 @@ def main():
     # HOST LATENCY billed to the device step. Timing N and 2N steps and
     # differencing cancels every constant per-loop cost exactly, leaving
     # the steady-state per-step time (what a production host, whose fetch
-    # costs microseconds, actually pays).
+    # costs microseconds, actually pays). The recorded number is the
+    # MEDIAN of three independent two-point estimates: per-step dispatch
+    # rides the host, so a one-off contention spike during the single
+    # recorded run would otherwise skew it by several percent (observed in
+    # the round-4 explicit_dgrad A/B — PERF.md "Measurement hygiene
+    # note"); three pairs cost ~6 s and the median ignores one outlier.
+    estimates = []
     with trace_ctx:
         e1 = timed_loop(steps)
-    e2 = timed_loop(2 * steps)
-    elapsed = e2 - e1
+    estimates.append(timed_loop(2 * steps) - e1)
+    for _ in range(2):
+        e1 = timed_loop(steps)
+        estimates.append(timed_loop(2 * steps) - e1)
+    elapsed = sorted(estimates)[1]
 
     pairs_per_sec = cfg.data.batch_size * steps / elapsed
     per_chip = pairs_per_sec / mesh.size
