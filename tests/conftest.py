@@ -56,6 +56,7 @@ _SLOW_MODULES = {
     "test_efficientnet",
     "test_encoders",
     "test_fused_bn_pool",
+    "test_multiprocess",
     "test_ops",
     "test_parallel",
     "test_training",

@@ -108,3 +108,88 @@ class TestVoxel128:
         n_occ = int((np.asarray(dev["voxels"]).sum(axis=-1) > 0).sum())
         expect = sum(len(i["voxel_flat"]) for i in items)
         assert n_occ == expect
+
+
+class TestVoxel128Mesh:
+    """128³ mesh validation (round-4 verdict item 5): the second shipped
+    recipe (C13/128³: windowed_compact + remat_voxel, batch 32 on a 16 GB
+    chip) gets the same multi-chip correctness evidence as the 64³
+    flagship — windowed on the 8-device mesh == the identical program on a
+    1-device mesh (sharding semantics) == packed dense-masked (tile-sparse
+    exactness), through loss + Adam update, in f32 at tiny batch."""
+
+    def _cfg(self, transfer):
+        return load_config(
+            [
+                "data=synthetic",
+                "model.voxel_encoder=VoxelCNNEncoder",
+                "data.voxel_size=128",
+                "data.batch_size=8",
+                "data.num_models=8",
+                f"data.voxel_transfer={transfer}",
+                "precision.compute_dtype=float32",
+                "precision.remat_voxel=true",  # the shipped 128³ memory plan
+            ]
+        )
+
+    def _batch(self, cfg):
+        from tricolo_tpu.data import DataModule
+
+        dm = DataModule(cfg)
+        dm.setup("fit")
+        return next(iter(dm.train_loader()))
+
+    def _run_step(self, cfg, model, tx, batch, run_mesh, variables):
+        from tricolo_tpu.parallel import replicated_sharding, shard_batch
+        from tricolo_tpu.training import TrainState, make_train_step
+
+        fresh = jax.tree.map(jnp.copy, variables)
+        state = jax.device_put(
+            TrainState.create(fresh, tx), replicated_sharding(run_mesh)
+        )
+        step = make_train_step(model, tx, cfg)
+        state, losses = step(
+            state, shard_batch(batch, run_mesh), 3.5e-4, jax.random.PRNGKey(0)
+        )
+        leaves = jax.tree.leaves(state.params)
+        return float(losses["train_loss/total_loss"]), np.asarray(
+            jax.device_get(leaves[0])
+        )
+
+    def test_windowed_128_matches_packed_and_one_device(self):
+        from tricolo_tpu.data.device_prep import prepare_device_batch
+        from tricolo_tpu.models.tricolo_net import TriCoLoNet
+        from tricolo_tpu.parallel import make_mesh
+        from tricolo_tpu.training import make_optimizer
+        from tricolo_tpu.training.steps import _wants_voxel_mask
+
+        cfg = self._cfg("windowed_compact")
+        wc_batch = self._batch(cfg)
+        packed_batch = self._batch(self._cfg("packed"))
+        assert "voxel_rows" in wc_batch and wc_batch["voxel_rows"].shape[2] == 14**3
+        model = TriCoLoNet.from_config(cfg)
+        tx = make_optimizer(cfg)
+
+        dev = prepare_device_batch(
+            {
+                k: jnp.asarray(v)
+                for k, v in wc_batch.items()
+                if isinstance(v, np.ndarray)
+            },
+            cfg.data.voxel_size,
+            voxel_mask=_wants_voxel_mask(cfg),
+        )
+        variables = model.init(jax.random.key(0), dev)
+
+        mesh = make_mesh(8)
+        loss_mesh, p_mesh = self._run_step(cfg, model, tx, wc_batch, mesh, variables)
+        loss_1dev, p_1dev = self._run_step(
+            cfg, model, tx, wc_batch, make_mesh(1), variables
+        )
+        loss_packed, p_packed = self._run_step(
+            cfg, model, tx, packed_batch, mesh, variables
+        )
+        assert loss_mesh == pytest.approx(loss_1dev, rel=1e-5)
+        np.testing.assert_allclose(p_mesh, p_1dev, rtol=1e-4, atol=1e-6)
+        assert loss_mesh == pytest.approx(loss_packed, rel=1e-4)
+        np.testing.assert_allclose(p_mesh, p_packed, rtol=1e-3, atol=1e-5)

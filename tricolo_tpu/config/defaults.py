@@ -235,6 +235,17 @@ def default_config() -> ConfigNode:
                 # (equivalent, tested; scales to very large global batches
                 # by keeping each chip's logit rows local).
                 "explicit_collectives": False,
+                # Multi-process (multi-host) runtime: initialize
+                # jax.distributed so one global mesh spans every host's
+                # devices; each process loads only its stripe of the global
+                # batch (parallel/multiprocess.py). The coordinator triple
+                # may come from these keys, the JAX_* env vars, or TPU-pod
+                # auto-detection (all three None). data.batch_size stays the
+                # GLOBAL batch.
+                "multiprocess": False,
+                "coordinator_address": None,
+                "num_processes": None,
+                "process_id": None,
             },
             "precision": {
                 # bfloat16 activations through convs/matmuls, float32 params,

@@ -159,6 +159,8 @@ class BatchIterator:
         tile_budget: "int | str" = "auto",
         windowed_halo: int = 1,
         tile_overflow: str = "error",
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -173,6 +175,26 @@ class BatchIterator:
         self.tile_budget = tile_budget
         self.windowed_halo = windowed_halo
         self.tile_overflow = tile_overflow
+        # Multi-process striping (parallel/multiprocess.py): every process
+        # runs the identical seeded permutation over the identical dataset
+        # and takes its slice of each GLOBAL batch, so union-over-processes
+        # reproduces exactly the single-process batch stream. batch_size
+        # here stays the GLOBAL batch; yielded batches carry
+        # batch_size/process_count samples.
+        if process_count > 1:
+            if batch_size % process_count != 0:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"process count {process_count}"
+                )
+            if not drop_last:
+                raise ValueError(
+                    "multi-process striping requires drop_last=True (tail "
+                    "padding is a per-process eval concern; run eval "
+                    "process-locally instead)"
+                )
+        self.process_index = process_index
+        self.process_count = process_count
         self._tile_budget_rows: int | None = None
         self.epoch = 0
 
@@ -228,6 +250,12 @@ class BatchIterator:
                 )
             else:
                 valid = self.batch_size
+            if self.process_count > 1:
+                local = self.batch_size // self.process_count
+                chunk = chunk[
+                    self.process_index * local : (self.process_index + 1) * local
+                ]
+                valid = local
             batch = collate(
                 [self.dataset[int(i)] for i in chunk],
                 n_pad,
@@ -366,12 +394,26 @@ class DataModule:
         )
 
     def train_loader(self) -> BatchIterator:
+        # Under parallel.multiprocess each process yields its stripe of the
+        # global batch (identical seeded permutation everywhere); eval
+        # loaders stay process-local — every host holds the full split in
+        # RAM and params are replicated, so each process evaluates the
+        # whole split on its own devices (RUNBOOK "Multi-process").
+        stripe = {}
+        if self.cfg.parallel.get("multiprocess", False):
+            import jax
+
+            stripe = dict(
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            )
         return BatchIterator(
             self.train_set,
             shuffle=True,
             drop_last=True,
             seed=self.cfg.train_seed,
             **self._loader_kwargs(),
+            **stripe,
         )
 
     def val_loader(self) -> BatchIterator:

@@ -14,9 +14,19 @@ from .mesh import (
     shard_batch,
 )
 from .collectives import make_global_nt_xent, make_local_nt_xent
+from .multiprocess import (
+    is_multiprocess,
+    local_batch_size,
+    maybe_initialize,
+    shard_process_local_batch,
+)
 from .sharding_rules import param_shardings, shard_state
 
 __all__ = [
+    "is_multiprocess",
+    "local_batch_size",
+    "maybe_initialize",
+    "shard_process_local_batch",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",

@@ -50,7 +50,18 @@ def shard_batch(batch: Mapping[str, Any], mesh: Mesh) -> dict:
 
     Non-array entries (model_id/category string lists, num_valid) stay on
     host — the jitted step never sees them.
+
+    Under a multi-process runtime (jax.distributed initialized, mesh
+    spanning hosts) the batch is this process's LOCAL stripe and global
+    arrays are assembled via make_array_from_process_local_data — see
+    parallel/multiprocess.py.
     """
+    if jax.process_count() > 1 and any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    ):
+        from .multiprocess import shard_process_local_batch
+
+        return shard_process_local_batch(batch, mesh)
     sharding = batch_sharding(mesh)
     out = {}
     for key, value in batch.items():

@@ -39,9 +39,53 @@ from .state import TrainState
 from .steps import make_eval_step, make_train_step, shape_embedding_sum
 
 
+class _NullLogger:
+    """Metrics sink for non-zero processes: same interface, no artifacts
+    (a per-process scratch save_dir keeps incidental writes collision-free
+    when processes share a filesystem)."""
+
+    def __init__(self):
+        import tempfile
+
+        self.save_dir = tempfile.mkdtemp(prefix=f"tricolo_proc{jax.process_index()}_")
+
+    def log(self, *args, **kwargs):
+        pass
+
+    def close(self):
+        pass
+
+
+class _NullManager:
+    """Checkpoint sink for non-zero processes (process 0 owns the files)."""
+
+    writer = None
+    best = None
+
+    def save(self, *args, **kwargs):
+        pass
+
+    def wait(self):
+        pass
+
+
 class Trainer:
     def __init__(self, cfg, use_explicit_collectives: bool | None = None):
         self.cfg = cfg
+        # Multi-process (multi-host) runtime: bring up jax.distributed
+        # BEFORE the mesh so jax.devices() spans every process
+        # (parallel/multiprocess.py; RUNBOOK "Multi-process"). Training
+        # then runs on the global mesh; eval and checkpointing stay
+        # process-local (params replicated ⇒ every process holds them).
+        from ..parallel import maybe_initialize
+
+        maybe_initialize(cfg)
+        if jax.process_count() > 1 and cfg.parallel.param_sharding != "replicated":
+            raise ValueError(
+                "parallel.multiprocess currently requires "
+                "parallel.param_sharding=replicated (process-local eval and "
+                "process-0 checkpointing read full replicas)"
+            )
         self.mesh = make_mesh(cfg.parallel.data_parallel)
         self.model = TriCoLoNet.from_config(cfg)
         self.tx = make_optimizer(cfg)
@@ -225,11 +269,17 @@ class Trainer:
     def fit(self, data_module: DataModule, resume_ckpt: str | None = None):
         cfg = self.cfg
         np.random.seed(cfg.train_seed)
-        data_module.setup("fit")
+        tic = time.perf_counter()
+        data_module.setup("fit")  # whole-split RAM load (reference parity)
+        self._timers["data_load"] += time.perf_counter() - tic
         train_loader = data_module.train_loader()
         val_loader = data_module.val_loader()
 
-        logger = MetricsLogger(cfg)
+        # Only process 0 owns on-disk artifacts (metrics JSONL, nearest
+        # info, checkpoints); other processes run the identical loop with
+        # null sinks so control flow and RNG streams stay in lockstep.
+        is_main = jax.process_index() == 0
+        logger = MetricsLogger(cfg) if is_main else _NullLogger()
         ckpt_dir = cfg.checkpoint_monitor.dirpath
         # async_save=true moves the device→host transfer + serialization +
         # file writes onto an ordered worker thread (AsyncCheckpointWriter):
@@ -239,16 +289,20 @@ class Trainer:
         # writer before returning, so on-disk results are identical.
         writer = (
             AsyncCheckpointWriter()
-            if bool(cfg.checkpoint_monitor.get("async_save", False))
+            if bool(cfg.checkpoint_monitor.get("async_save", False)) and is_main
             else None
         )
-        manager = CheckpointManager(
-            ckpt_dir,
-            monitor=cfg.checkpoint_monitor.monitor,
-            mode=cfg.checkpoint_monitor.mode,
-            save_top_k=cfg.checkpoint_monitor.save_top_k,
-            save_last=bool(cfg.checkpoint_monitor.get("save_last", False)),
-            writer=writer,
+        manager = (
+            CheckpointManager(
+                ckpt_dir,
+                monitor=cfg.checkpoint_monitor.monitor,
+                mode=cfg.checkpoint_monitor.mode,
+                save_top_k=cfg.checkpoint_monitor.save_top_k,
+                save_last=bool(cfg.checkpoint_monitor.get("save_last", False)),
+                writer=writer,
+            )
+            if is_main
+            else _NullManager()
         )
 
         if resume_ckpt is not None:
@@ -320,10 +374,13 @@ class Trainer:
                 )
                 summary = metrics.summary("val_eval/")
                 logger.log({**summary, **val_losses}, global_step, epoch)
-                print(
-                    f"epoch {epoch}: "
-                    + " ".join(f"{k.split('/')[-1]}={v:.2f}" for k, v in summary.items())
-                )
+                if jax.process_index() == 0:
+                    print(
+                        f"epoch {epoch}: "
+                        + " ".join(
+                            f"{k.split('/')[-1]}={v:.2f}" for k, v in summary.items()
+                        )
+                    )
                 self._timers["validate"] += time.perf_counter() - tic
 
                 # Checkpoint cadence is its own knob (reference
@@ -360,8 +417,27 @@ class Trainer:
         loss_totals: dict[str, float] = defaultdict(float)
         n_loss_batches = 0
         batch_size = loader.batch_size
+        mesh = self.mesh
+        if any(d.process_index != jax.process_index() for d in mesh.devices.flat):
+            # Multi-process fit: eval runs PROCESS-LOCALLY — every host
+            # holds the full val split (whole-split RAM load) and params
+            # are replicated, so each process evaluates the whole split on
+            # its own devices with no cross-host traffic; process 0 logs.
+            # Re-place the (fully-replicated ⇒ host-readable) state onto a
+            # local-device mesh so the eval jit sees one device set.
+            from jax.sharding import Mesh
+
+            from ..parallel import replicated_sharding
+
+            mesh = Mesh(
+                np.asarray(jax.local_devices()), self.mesh.axis_names
+            )
+            state = jax.device_put(
+                jax.tree.map(lambda x: np.asarray(x), state),
+                replicated_sharding(mesh),
+            )
         for batch in loader:
-            device_batch = shard_batch(batch, self.mesh)
+            device_batch = shard_batch(batch, mesh)
             output, loss_dict = self.eval_step(state, device_batch)
             n_valid = batch["num_valid"]
             text = np.asarray(output["text_features"])[:n_valid]
