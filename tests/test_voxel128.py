@@ -119,16 +119,21 @@ class TestVoxel128Mesh:
     exactness), through loss + Adam update, in f32 at tiny batch."""
 
     def _cfg(self, transfer):
+        # Bi(V) at tiny text/image shapes: the 128³ question is the VOXEL
+        # path's mesh semantics; the image encoder and remat are validated
+        # elsewhere (TestWindowedCompactMesh at 64³-class shapes,
+        # TestRematEquivalence) and at 128³ each would multiply this
+        # test's single-core CPU cost several-fold.
         return load_config(
             [
                 "data=synthetic",
+                "model.image_encoder=null",
                 "model.voxel_encoder=VoxelCNNEncoder",
                 "data.voxel_size=128",
                 "data.batch_size=8",
                 "data.num_models=8",
                 f"data.voxel_transfer={transfer}",
                 "precision.compute_dtype=float32",
-                "precision.remat_voxel=true",  # the shipped 128³ memory plan
             ]
         )
 
