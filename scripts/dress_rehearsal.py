@@ -135,8 +135,6 @@ def generate(root: pathlib.Path, seed: int = 0):
 def run(root: pathlib.Path, epochs: int, extra: list[str]):
     logp = root / "train_log.txt"
     cmd = [
-        "/usr/bin/time",
-        "-v",
         sys.executable,
         str(REPO / "train.py"),
         "data=text2shape_chair_table",
@@ -154,7 +152,19 @@ def run(root: pathlib.Path, epochs: int, extra: list[str]):
     t0 = time.time()
     with open(logp, "w") as log:
         rc = subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT).returncode
-    print(f"train.py rc={rc} wall={time.time() - t0:.0f}s; log: {logp}")
+    wall = time.time() - t0
+    # Peak RSS of the (finished) child via getrusage — /usr/bin/time is not
+    # installed everywhere; emit its line format so report() parses either.
+    import resource
+
+    peak_kb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    with open(logp, "a") as log:
+        log.write(f"\n\tMaximum resident set size (kbytes): {peak_kb}\n")
+        log.write(
+            "\tElapsed (wall clock) time (h:mm:ss or m:ss): "
+            f"{int(wall // 60)}:{wall % 60:05.2f}\n"
+        )
+    print(f"train.py rc={rc} wall={wall:.0f}s; log: {logp}")
     return rc
 
 
