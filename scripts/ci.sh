@@ -2,13 +2,13 @@
 # Bounded verification gate: the strongest check that fits a ~10-minute
 # single-core budget (measured on the round-4 dev box, warm compile cache).
 #
-# The FULL suite (`pytest tests/ -q`, 265 tests) is execution-bound on a
+# The FULL suite (`pytest tests/ -q`, 271 tests) is execution-bound on a
 # 1-core host: the 8-virtual-device XLA:CPU mesh programs serialize their
 # per-device compute, and the suite runs >25 min even with every compile
 # served from the prebuilt cache (PERF.md "Suite wall clock"). This gate
 # keeps the load-bearing coverage and defers the redundant heavy tiers:
 #
-#   1. fast tier (~153 tests, ~3 min): config, data contracts, loss +
+#   1. fast tier (~157 tests, ~3 min): config, data contracts, loss +
 #      retrieval oracles, native loader, tokenizer, conv3d VJP twins.
 #   2. the flagship multi-chip equivalence (TestWindowedCompactMesh):
 #      windowed_compact on the 8-device mesh == 1-device == packed dense
@@ -19,7 +19,8 @@
 #
 # Everything else (`-m slow` minus the two picks above) is the nightly
 # tier: torch-oracle sweeps, 128-cubed voxels, EfficientNet variants,
-# serving HTTP, interpret-mode Pallas — run it when touching those paths.
+# serving HTTP, interpret-mode Pallas — run it when touching those paths
+# (`scripts/nightly.sh` runs the whole suite, xdist-split on multi-core).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
