@@ -186,6 +186,8 @@ def report(root: pathlib.Path):
         / "training" / "metrics.jsonl"
     )
     epochs = {}
+    steps = []
+    vals = []
     if metrics_path.exists():
         for line in metrics_path.read_text().splitlines():
             row = json.loads(line)
@@ -195,7 +197,38 @@ def report(root: pathlib.Path):
                     for k, v in row.items()
                     if k.startswith("val_eval/")
                 }
+                vals.append(row)
+            elif "train_loss/total_loss" in row and "time" in row:
+                steps.append(row)
     out["val_epochs"] = epochs
+    # Step pace from the metric timestamps (logged every N steps): the
+    # dev-box number is tunnel-H2D-dominated and HIGHLY variable — report
+    # the distribution, not a single mean.
+    if len(steps) >= 2:
+        import numpy as np
+
+        paces = [
+            (b["time"] - a["time"]) / (b["step"] - a["step"])
+            for a, b in zip(steps, steps[1:])
+            if b["step"] > a["step"]
+        ]
+        out["s_per_step"] = {
+            "median": round(float(np.median(paces)), 1),
+            "min": round(min(paces), 1),
+            "max": round(max(paces), 1),
+        }
+    # Eval-matrix wall: gap between the last train-step log of an epoch
+    # and that epoch's val metrics line (embedding extraction over the
+    # full val split + ranking matrix + metric reduction). Upper bound:
+    # the gap also contains the ≤(log-interval−1) tail train steps of
+    # the epoch.
+    evals = []
+    for v in vals:
+        prior = [s for s in steps if s["time"] < v["time"]]
+        if prior:
+            evals.append(round(v["time"] - prior[-1]["time"], 1))
+    if evals:
+        out["eval_wall_s"] = evals
     ckpt_dir = metrics_path.parent
     if ckpt_dir.exists():
         out["ckpt_mb"] = [
