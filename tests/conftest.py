@@ -50,6 +50,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # `pytest -m "not slow"` is a fast cold-start smoke tier (<2 min); the full
 # suite is the default. Markers registered in pyproject.toml.
 _SLOW_MODULES = {
+    "test_bench_watchdog",
     "test_e2e_oracle",
     "test_fullchain_cli",
     "test_serving",
