@@ -2,7 +2,7 @@
 # Bounded verification gate: the strongest check that fits a ~10-minute
 # single-core budget (measured on the round-4 dev box, warm compile cache).
 #
-# The FULL suite (`pytest tests/ -q`, 271 tests) is execution-bound on a
+# The FULL suite (`pytest tests/ -q`, 273 tests) is execution-bound on a
 # 1-core host: the 8-virtual-device XLA:CPU mesh programs serialize their
 # per-device compute, and the suite runs >25 min even with every compile
 # served from the prebuilt cache (PERF.md "Suite wall clock"). This gate

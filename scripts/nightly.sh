@@ -2,7 +2,7 @@
 # Nightly / full verification tier, split for pytest-xdist.
 #
 # `scripts/ci.sh` is the bounded ~9-minute single-core gate; THIS script is
-# the full 271-test suite, organized so a multi-core host finishes it fast
+# the full 273-test suite, organized so a multi-core host finishes it fast
 # and a single-core host can still run it (serially, >25 min — the
 # 8-virtual-device XLA:CPU mesh programs serialize their per-device compute,
 # PERF.md "Suite wall clock").
