@@ -36,11 +36,27 @@ def run_bench(extra_args, extra_env):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env["JAX_PLATFORMS"] = "cpu"
+    # Persistent XLA:CPU compile cache (the same feature-namespaced dir
+    # conftest uses in-process): the subprocess compiles the tiny train
+    # step once (~100 s cold on this 1-core box); every later run — the
+    # second test here, suite reruns — loads it in seconds. bench.py only
+    # avoids the persistent cache on the tunneled TPU backend.
+    from tricolo_tpu.utils.compcache import compilation_cache_dir
+
+    env["JAX_COMPILATION_CACHE_DIR"] = compilation_cache_dir()
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
     env.update(extra_env)
-    return subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), *TINY, *extra_args],
-        capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
-    )
+    try:
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), *TINY, *extra_args],
+            capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+        )
+    except subprocess.TimeoutExpired as e:
+        raise AssertionError(
+            f"bench.py subprocess exceeded 900s (cold-compile contention?): "
+            f"stdout={e.stdout!r} stderr={(e.stderr or b'')[-2000:]!r}"
+        ) from e
 
 
 def parse_json_line(stdout):
